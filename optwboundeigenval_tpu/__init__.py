@@ -1,0 +1,27 @@
+"""optwboundeigenval_tpu — TPU-native spectral-radius-regularized training.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of the reference
+"Optimization with Bounded Eigenvalues" codebase (single-device PyTorch):
+training neural networks under the objective ``h = f + mu * g`` where
+``g = max(0, rho - K, Kmin - rho)`` penalizes the dominant Hessian
+eigenvalue ``rho`` outside a band.  The dominant eigenpair is estimated
+matrix-free every mini-batch by power iteration over Hessian-vector
+products (Pearlmutter R-op), optionally K-FAC-preconditioned (inexact
+LOBPCG), and ``grad rho = v^T (grad H) v`` comes from a second R-op.
+
+Reference behavior map (see SURVEY.md): curvature kernel
+``opt.py:48-192``; eigensolver ``opt.py:418-533``; training driver
+``opt.py:238-1855``.
+
+TPU-first architecture (NOT a port):
+  * curvature: ``jax.linearize(jax.grad(loss))`` — one linearization per
+    batch reused by every power-iteration step, jitted to XLA.
+  * eigensolver: ``lax.while_loop`` with the reference's stopping
+    semantics, compiled into the train step.
+  * parallelism: batch sharded over a ``data`` mesh axis via
+    ``jax.sharding``; XLA inserts psums over ICI.
+"""
+
+__version__ = "0.1.0"
+
+from optwboundeigenval_tpu.ops import curvature, eigen, spectral  # noqa: F401

@@ -1,0 +1,99 @@
+"""Matrix-free curvature kernel: Hessian-vector products and the
+second-order directional derivative v^T (grad H) v.
+
+Capability parity with the reference ``HVPOperator`` (opt.py:48-192):
+
+  * ``Hv(v)``            -> :func:`hvp` / :func:`linearize_hvp`
+  * ``vGHv(v)``          -> :func:`vghv`
+  * ``stored_grad`` reuse (opt.py:86-91, one create-graph backward reused
+    by every power-iteration step) -> :func:`linearize_hvp`, which calls
+    ``jax.linearize(jax.grad(loss))`` once per batch and returns a cheap
+    linear map.  This is the TPU-native expression of the same idea: the
+    forward+backward trace is computed once and XLA re-executes only the
+    linearized (JVP) pass per power iteration.
+
+Design notes (TPU-first, not a port):
+  * Everything is a pure function of ``(params, batch)`` pytrees; no
+    object state.  The trainer carries state (warm-started eigenvector,
+    cached gradient) explicitly.
+  * The reference forces float64 (opt.py:83, opt.py:108).  TPUs have no
+    native f64 MXU path; we default to the params' dtype (f32) and expose
+    a ``dtype`` escape hatch for CPU-based oracle tests.
+  * Under ``jit`` with a batch sharded over a ``data`` mesh axis, the
+    mean-loss reduction makes XLA insert ``psum`` over ICI automatically;
+    HVPs are batch reductions so data parallelism is free.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+
+from optwboundeigenval_tpu.utils.tree import tree_vdot
+
+# A loss function maps (params, batch) -> scalar loss.
+LossFn = Callable[[Any, Any], jax.Array]
+
+
+def grad(loss_fn: LossFn, params, batch):
+    """Gradient of the loss at ``params`` (reference ``prepare_grad``,
+    opt.py:175-192), as a pytree matching ``params``."""
+    return jax.grad(loss_fn)(params, batch)
+
+
+def hvp(loss_fn: LossFn, params, batch, v):
+    """One-shot Hessian-vector product ``H(params) @ v``.
+
+    Forward-over-reverse: ``jvp(grad(loss), (params,), (v,))``.  Matches
+    reference ``HVPOperator.Hv`` (opt.py:77-108) without materializing H.
+    Prefer :func:`linearize_hvp` when several products share one batch.
+    """
+    g = lambda p: jax.grad(loss_fn)(p, batch)
+    return jax.jvp(g, (params,), (v,))[1]
+
+
+def linearize_hvp(loss_fn: LossFn, params, batch) -> Tuple[Any, Callable[[Any], Any]]:
+    """Linearize the gradient once; returns ``(grad, hvp_fn)``.
+
+    ``hvp_fn(v)`` evaluates ``H @ v`` re-using the single linearization —
+    the analog of the reference caching ``stored_grad`` with
+    ``create_graph=True`` and re-issuing backward passes against it for
+    every power-iteration step (opt.py:86-99, opt.py:450).  The returned
+    gradient doubles as ``grad f`` for the optimizer step, exactly as the
+    reference reuses ``stored_grad`` as ``gradf`` (opt.py:624-625).
+    """
+    g = lambda p: jax.grad(loss_fn)(p, batch)
+    grads, hvp_fn = jax.linearize(g, params)
+    return grads, hvp_fn
+
+
+def vghv(loss_fn: LossFn, params, batch, v):
+    """Second-order directional derivative ``v^T (grad H) v`` — the
+    gradient of the Rayleigh quotient numerator ``v^T H(params) v`` with
+    respect to ``params``.
+
+    Reference ``HVPOperator.vGHv`` (opt.py:110-152) computes this with a
+    triple backward.  Functionally it is just
+    ``grad_p [ <H(p) v, v> ]``, one reverse pass over a forward-over-
+    reverse HVP — a pure composition XLA compiles into a single program.
+    Used for ``grad rho`` (comp_gradrho, opt.py:535-542).
+    """
+
+    def rayleigh_num(p):
+        g = lambda q: jax.grad(loss_fn)(q, batch)
+        hv = jax.jvp(g, (p,), (v,))[1]
+        return tree_vdot(hv, v)
+
+    return jax.grad(rayleigh_num)(params)
+
+
+def loss_grad_hvp_vghv(loss_fn: LossFn, params, batch, v):
+    """Fused convenience: returns ``(loss, grad, hvp_fn, vghv)`` for one
+    batch.  Used by tests; the trainer composes the pieces itself so the
+    ``vghv`` reverse pass only runs when the penalty is active
+    (reference gates on ``g > 0``, opt.py:631-636)."""
+    loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+    _, hvp_fn = linearize_hvp(loss_fn, params, batch)
+    gv = vghv(loss_fn, params, batch, v)
+    return loss, grads, hvp_fn, gv

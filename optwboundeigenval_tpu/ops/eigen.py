@@ -1,0 +1,219 @@
+"""Dominant-eigenpair estimation: damped power iteration over a
+matrix-free operator, with optional preconditioning (inexact LOBPCG).
+
+Behavior parity with reference ``comp_rho`` (opt.py:418-533):
+
+  * warm start from previous eigenvector or deterministic ``1/sqrt(n)``
+    vector (opt.py:324-325, opt.py:432);
+  * Rayleigh quotient ``lam = <Hv, v>`` with sign flip for negative
+    eigenvalues (opt.py:455-460);
+  * residual ``r = Hv - lam * v``; residual-change
+    ``rn = min(|r - r_old|, |r + r_old|)`` (opt.py:461-463);
+  * 3-way stopping rule: any of ``{ |r|, rn/|r_old|, |dlam|/lam_old }``
+    below ``eps`` stops the iteration (opt.py:477-481);
+  * damped update ``v <- v + alpha * (Hv - v)`` with scalar or
+    schedule-callable ``alpha`` (opt.py:489-495), or preconditioned
+    update ``v <- v + alpha * P(r)`` in LOBPCG mode (opt.py:491-493);
+  * non-convergence discard: ``rho = -1`` and eigenvector reset
+    (``ignore_bad_vals``, opt.py:513-520).
+
+TPU-native design: the whole loop is a ``lax.while_loop`` over pytrees,
+compiled into the caller's jitted train step — no host round trips per
+iteration (the reference syncs ``lam``/norms to Python every step,
+opt.py:455-466).  Iteration count is bounded by
+``min(ndim, max_pow_iter)`` exactly as opt.py:447.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from optwboundeigenval_tpu.utils.tree import (
+    tree_axpy,
+    tree_scale,
+    tree_size,
+    tree_sub,
+    tree_uniform_like,
+    tree_vdot,
+    tree_where,
+    tree_zeros_like,
+)
+
+MatVec = Callable[[Any], Any]
+AlphaFn = Union[float, Callable[[jax.Array], jax.Array]]
+
+
+class PowerIterResult(NamedTuple):
+    """Result of one power-iteration solve.
+
+    ``rho``: dominant |eigenvalue| estimate (−1.0 if discarded).
+    ``v``: eigenvector estimate (warm-start for the next batch).
+    ``norm``: final residual norm |Hv − lam v| (reference ``self.norm``).
+    ``res_change``: final residual-change ``rn`` (returned by comp_rho).
+    ``iters``: number of HVPs performed.
+    ``converged``: whether the stopping rule fired.
+    """
+
+    rho: jax.Array
+    v: Any
+    norm: jax.Array
+    res_change: jax.Array
+    iters: jax.Array
+    converged: jax.Array
+
+
+class _State(NamedTuple):
+    i: jax.Array
+    v: Any
+    lam: jax.Array
+    lam_old: jax.Array
+    r_old: Any
+    n: jax.Array
+    n_old: jax.Array
+    rn: jax.Array
+    done: jax.Array
+
+
+def _as_alpha_fn(alpha: AlphaFn) -> Callable[[jax.Array], jax.Array]:
+    if callable(alpha):
+        return alpha
+    return lambda i: jnp.asarray(alpha, dtype=jnp.float32)
+
+
+def power_iteration(
+    matvec: MatVec,
+    v0: Any,
+    *,
+    eps: float = 1e-3,
+    max_iter: int = 1000,
+    alpha: AlphaFn = 1.0,
+    precond: Optional[MatVec] = None,
+    cap_by_dim: bool = True,
+) -> PowerIterResult:
+    """Estimate the dominant eigenpair of the symmetric operator ``matvec``.
+
+    ``precond`` (if given) maps the residual pytree through an
+    approximate inverse (e.g. the K-FAC natural-gradient apply) — the
+    reference's inexact-LOBPCG mode (opt.py:426-430, opt.py:491-493).
+
+    ``cap_by_dim`` reproduces the reference's iteration budget
+    ``min(ndim, max_pow_iter)`` (opt.py:447); pass ``False`` to allow
+    more iterations than the operator dimension (useful for small test
+    problems where the power method needs > ndim steps).
+    """
+    n_iters = int(min(tree_size(v0), max_iter)) if cap_by_dim else int(max_iter)
+    alpha_fn = _as_alpha_fn(alpha)
+    one = jnp.asarray(1.0, jnp.float32)
+    inf = jnp.asarray(jnp.inf, jnp.float32)
+
+    def cond(s: _State):
+        return jnp.logical_and(s.i < n_iters, jnp.logical_not(s.done))
+
+    def body(s: _State) -> _State:
+        hv = matvec(s.v)
+        lam_raw = tree_vdot(hv, s.v).real.astype(jnp.float32)
+        # Sign flip so lam >= 0 tracks |eigenvalue| (opt.py:458-460).
+        flip = lam_raw < 0
+        lam = jnp.abs(lam_raw)
+        hv = tree_where(flip, tree_scale(-1.0, hv), hv)
+
+        r = jax.tree.map(lambda h, vv: h - lam * vv, hv, s.v)
+        n = jnp.sqrt(tree_vdot(r, r)).astype(jnp.float32)
+        rn = jnp.minimum(
+            jnp.sqrt(tree_vdot(tree_sub(r, s.r_old), tree_sub(r, s.r_old))),
+            jnp.sqrt(
+                tree_vdot(tree_axpy(one, r, s.r_old), tree_axpy(one, r, s.r_old))
+            ),
+        ).astype(jnp.float32)
+
+        stop1 = n
+        stop2 = jnp.where(s.n_old != 0, rn / s.n_old, inf)
+        stop3 = jnp.where(s.lam_old != 0, jnp.abs(lam - s.lam_old) / s.lam_old, inf)
+        done = (stop1 < eps) | (stop2 < eps) | (stop3 < eps)
+
+        a = alpha_fn(s.i)
+        if precond is not None:
+            direction = precond(r)  # LOBPCG: v + alpha * P(r)
+        else:
+            direction = tree_sub(hv, s.v)  # plain: v + alpha * (Hv - v)
+        v_unnorm = tree_axpy(a, direction, s.v)
+        v_next = tree_scale(1.0 / jnp.sqrt(tree_vdot(v_unnorm, v_unnorm)), v_unnorm)
+
+        # On stop, the reference breaks *before* the damped update, so the
+        # returned eigenvector is the one whose HVP was just measured.
+        new_v = tree_where(done, s.v, v_next)
+        return _State(
+            i=s.i + 1,
+            v=new_v,
+            lam=lam,
+            lam_old=jnp.where(done, s.lam_old, lam),
+            r_old=tree_where(done, s.r_old, r),
+            n=n,
+            n_old=jnp.where(done, s.n_old, n),
+            rn=rn,
+            done=done,
+        )
+
+    zero = jnp.asarray(0.0, jnp.float32)
+    init = _State(
+        i=jnp.asarray(0, jnp.int32),
+        v=v0,
+        lam=zero,
+        lam_old=zero,
+        r_old=tree_zeros_like(v0),
+        n=zero,
+        n_old=zero,
+        rn=zero,
+        done=jnp.asarray(False),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return PowerIterResult(
+        rho=jnp.abs(final.lam),
+        v=final.v,
+        norm=final.n,
+        res_change=final.rn,
+        iters=final.i,
+        converged=final.done,
+    )
+
+
+def estimate_dominant_eig(
+    matvec: MatVec,
+    v0: Any,
+    *,
+    eps: float = 1e-3,
+    max_iter: int = 1000,
+    alpha: AlphaFn = 1.0,
+    precond: Optional[MatVec] = None,
+    ignore_bad_vals: bool = True,
+    cap_by_dim: bool = True,
+) -> PowerIterResult:
+    """Power iteration plus the reference's discard protocol: if the
+    stopping rule never fired and ``ignore_bad_vals``, report
+    ``rho = -1`` and reset the warm-start vector to the deterministic
+    uniform vector (opt.py:513-520)."""
+    res = power_iteration(
+        matvec,
+        v0,
+        eps=eps,
+        max_iter=max_iter,
+        alpha=alpha,
+        precond=precond,
+        cap_by_dim=cap_by_dim,
+    )
+    if not ignore_bad_vals:
+        return res
+    bad = jnp.logical_not(res.converged)
+    rho = jnp.where(bad, jnp.asarray(-1.0, res.rho.dtype), res.rho)
+    v = tree_where(bad, tree_uniform_like(res.v), res.v)
+    return PowerIterResult(
+        rho=rho,
+        v=v,
+        norm=res.norm,
+        res_change=res.res_change,
+        iters=res.iters,
+        converged=res.converged,
+    )

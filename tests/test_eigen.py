@@ -1,0 +1,180 @@
+"""Power-iteration tests on operators with known spectra, plus parity
+checks of the reference's stopping/discard semantics (opt.py:418-533).
+
+Test matrices use spectra with a clear dominant gap so the power method
+converges within the reference's ``min(ndim, max_pow_iter)`` iteration
+budget (opt.py:447)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optwboundeigenval_tpu.ops import curvature, eigen
+from optwboundeigenval_tpu.utils.tree import tree_ravel, tree_uniform_like
+
+
+def matvec_from_matrix(A):
+    return lambda v: {"x": A @ v["x"]}
+
+
+def gapped_matrix(n, dominant, rest_max, seed):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    eigs = np.concatenate([[dominant], np.linspace(0.05, rest_max, n - 1)])
+    return jnp.asarray(Q @ np.diag(eigs) @ Q.T)
+
+
+def test_converges_on_known_spectrum():
+    A = gapped_matrix(32, dominant=5.0, rest_max=2.0, seed=0)
+    v0 = tree_uniform_like({"x": jnp.zeros(32)})
+    res = eigen.estimate_dominant_eig(
+        matvec_from_matrix(A), v0, eps=1e-6, max_iter=1000
+    )
+    assert bool(res.converged)
+    np.testing.assert_allclose(float(res.rho), 5.0, rtol=1e-3)
+
+
+def test_negative_dominant_eigenvalue_sign_flip():
+    """Reference flips sign so rho tracks |lambda| (opt.py:458-460)."""
+    A = gapped_matrix(16, dominant=-6.0, rest_max=2.0, seed=1)
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=16)
+    v0 = {"x": jnp.asarray(v / np.linalg.norm(v))}
+    res = eigen.estimate_dominant_eig(
+        matvec_from_matrix(A), v0, eps=1e-6, max_iter=1000
+    )
+    assert bool(res.converged)
+    np.testing.assert_allclose(float(res.rho), 6.0, rtol=1e-3)
+
+
+def test_iteration_budget_is_capped_by_dim():
+    """Reference budget: min(ndim, max_pow_iter) HVPs (opt.py:447)."""
+    A = gapped_matrix(8, dominant=3.0, rest_max=2.9, seed=7)
+    v0 = tree_uniform_like({"x": jnp.zeros(8)})
+    res = eigen.power_iteration(
+        matvec_from_matrix(A), v0, eps=1e-30, max_iter=1000
+    )
+    assert int(res.iters) <= 8
+    res2 = eigen.power_iteration(
+        matvec_from_matrix(A), v0, eps=1e-12, max_iter=1000, cap_by_dim=False
+    )
+    assert int(res2.iters) > 8
+
+
+def test_discard_protocol_on_nonconvergence():
+    """With too few iterations allowed, ignore_bad_vals gives rho = -1
+    and resets v to the uniform vector (opt.py:513-520)."""
+    A = gapped_matrix(24, dominant=4.0, rest_max=3.9, seed=2)
+    rng = np.random.default_rng(2)
+    v0 = {"x": jnp.asarray(rng.normal(size=24))}
+    res = eigen.estimate_dominant_eig(
+        matvec_from_matrix(A), v0, eps=1e-12, max_iter=2, ignore_bad_vals=True
+    )
+    assert not bool(res.converged)
+    assert float(res.rho) == -1.0
+    uniform = tree_uniform_like(v0)
+    np.testing.assert_allclose(res.v["x"], uniform["x"])
+    # without the flag the (bad) estimate is kept
+    res2 = eigen.estimate_dominant_eig(
+        matvec_from_matrix(A), v0, eps=1e-12, max_iter=2, ignore_bad_vals=False
+    )
+    assert float(res2.rho) != -1.0
+
+
+def test_warm_start_converges_no_slower():
+    A = gapped_matrix(48, dominant=3.0, rest_max=1.0, seed=3)
+    mv = matvec_from_matrix(A)
+    cold = eigen.power_iteration(
+        mv, tree_uniform_like({"x": jnp.zeros(48)}), eps=1e-6, max_iter=1000
+    )
+    assert bool(cold.converged)
+    warm = eigen.power_iteration(mv, cold.v, eps=1e-6, max_iter=1000)
+    assert int(warm.iters) <= int(cold.iters)
+
+
+def test_alpha_schedule_callable():
+    """pow_iter_alpha may be a callable of the iteration index
+    (opt.py:489, params/forest_lobpcg.py alpha(k)=exp(-4k-2))."""
+    A = gapped_matrix(16, dominant=3.0, rest_max=1.0, seed=4)
+    alpha = lambda i: 1.0 / (1.0 + i.astype(jnp.float32))
+    res = eigen.power_iteration(
+        matvec_from_matrix(A),
+        tree_uniform_like({"x": jnp.zeros(16)}),
+        eps=1e-6,
+        max_iter=1000,
+        alpha=alpha,
+    )
+    assert jnp.isfinite(res.rho)
+
+
+def test_preconditioned_exact_inverse():
+    """With P = A^{-1} the preconditioned residual iteration stays a
+    fixed-point iteration for the dominant eigenvector; sanity check of
+    the LOBPCG plumbing (opt.py:491-493)."""
+    rng = np.random.default_rng(5)
+    Q, _ = np.linalg.qr(rng.normal(size=(20, 20)))
+    eigs = np.concatenate([[8.0], np.linspace(0.5, 2.0, 19)])
+    A = jnp.asarray(Q @ np.diag(eigs) @ Q.T)
+    Ainv = jnp.asarray(Q @ np.diag(1.0 / eigs) @ Q.T)
+    # Damping must satisfy |1 + alpha*(1 - lam/e_min)| < 1 for the
+    # smallest eigencomponent to contract: alpha < 2/(lam/e_min - 1).
+    res = eigen.power_iteration(
+        matvec_from_matrix(A),
+        tree_uniform_like({"x": jnp.zeros(20)}),
+        eps=1e-5,
+        max_iter=500,
+        alpha=0.05,
+        precond=matvec_from_matrix(Ainv),
+        cap_by_dim=False,
+    )
+    assert bool(res.converged)
+    np.testing.assert_allclose(float(res.rho), 8.0, rtol=5e-2)
+
+
+def test_on_neural_hessian():
+    """End-to-end: dominant Hessian eigenvalue of a tiny MLP matches the
+    dense eigendecomposition (the real comp_rho use case)."""
+
+    def loss(params, batch):
+        x, y = batch
+        h = jnp.tanh(x @ params["w1"])
+        out = h @ params["w2"]
+        return jnp.mean((out - y) ** 2)
+
+    key = jax.random.PRNGKey(0)
+    params = {
+        "w1": jax.random.normal(key, (6, 5), jnp.float64) * 0.5,
+        "w2": jax.random.normal(jax.random.fold_in(key, 1), (5, 2), jnp.float64)
+        * 0.5,
+    }
+    batch = (
+        jax.random.normal(jax.random.fold_in(key, 2), (16, 6), jnp.float64),
+        jax.random.normal(jax.random.fold_in(key, 3), (16, 2), jnp.float64),
+    )
+    flat, unravel = tree_ravel(params)
+    H = jax.hessian(lambda p: loss(unravel(p), batch))(flat)
+    true_rho = float(np.max(np.abs(np.linalg.eigvalsh(H))))
+
+    _, hvp_fn = curvature.linearize_hvp(loss, params, batch)
+    res = eigen.estimate_dominant_eig(
+        hvp_fn,
+        tree_uniform_like(params),
+        eps=1e-9,
+        max_iter=20000,
+        cap_by_dim=False,
+    )
+    assert bool(res.converged)
+    np.testing.assert_allclose(float(res.rho), true_rho, rtol=1e-3)
+
+
+def test_jittable_whole_solve():
+    A = gapped_matrix(16, dominant=3.0, rest_max=1.0, seed=6)
+
+    @jax.jit
+    def solve(A, v0):
+        return eigen.power_iteration(
+            lambda v: {"x": A @ v["x"]}, v0, eps=1e-6, max_iter=1000
+        )
+
+    res = solve(A, tree_uniform_like({"x": jnp.zeros(16)}))
+    np.testing.assert_allclose(float(res.rho), 3.0, rtol=1e-3)
