@@ -1,0 +1,120 @@
+"""Entropy-SGD: local-entropy smoothing via inner Langevin (SGLD) steps
+around a weight anchor.
+
+Capability parity with the reference ``EntropySGD`` (optim.py:10-104):
+L inner SGLD steps with exponentially growing scope
+``g = g0 * (1 + g1)^t`` (optim.py:60), inner exponential weight
+averaging ``mw`` with ``beta1 = 0.75`` and inner lr ``0.1``
+(optim.py:48-49), outer (nesterov-)momentum step on ``w - <w>``
+(optim.py:84-102).
+
+TPU-native: the inner loop is a ``lax.scan``; noise comes from an
+explicit rng; no in-place parameter mutation.
+
+Reference quirk (documented, not silently copied): the closure the
+reference training loop feeds to EntropySGD (opt.py:676-687) never
+recomputes gradients, so its inner loop integrates a *stale* gradient
+field mutated in place.  The upstream algorithm (ucla-vision/
+entropy-sgd) recomputes the gradient each inner step.  Default here is
+``recompute_grads=True`` (the real algorithm); set it to ``False`` to
+reproduce the reference's stale-gradient dynamics exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from optwboundeigenval_tpu.optim.api import Optimizer
+
+
+class EntropySGDState(NamedTuple):
+    t: jax.Array  # outer step count
+    mdw: Any  # outer momentum buffer
+
+
+def EntropySGD(
+    lr: float = 0.1,
+    momentum: float = 0.9,
+    damp: float = 0.0,
+    weight_decay: float = 0.0,
+    nesterov: bool = True,
+    L: int = 0,
+    eps: float = 1e-4,
+    g0: float = 1e-4,
+    g1: float = 1e-3,
+    inner_lr: float = 0.1,
+    beta1: float = 0.75,
+    recompute_grads: bool = True,
+) -> Optimizer:
+    def init(params):
+        return EntropySGDState(
+            t=jnp.zeros((), jnp.int32),
+            mdw=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def momentum_step(dw, mdw, w):
+        if weight_decay > 0:
+            dw = jax.tree.map(lambda d, p: d + weight_decay * p, dw, w)
+        if momentum > 0:
+            mdw = jax.tree.map(lambda m, d: momentum * m + (1 - damp) * d, mdw, dw)
+            if nesterov:
+                dw = jax.tree.map(lambda d, m: d + momentum * m, dw, mdw)
+            else:
+                dw = mdw
+        return dw, mdw
+
+    def step(direction, state, params, *, grad_fn=None, rng=None):
+        assert grad_fn is not None and rng is not None, (
+            "EntropySGD requires grad_fn (inner SGLD) and rng (noise)"
+        )
+        g_scope = g0 * (1 + g1) ** state.t.astype(jnp.float32)
+        noise_scale = eps / jnp.sqrt(0.5 * inner_lr)
+        wc = params  # anchor
+
+        def inner(carry, key):
+            w, mw, lmdw, dw_prev = carry
+            if recompute_grads:
+                _, dw = grad_fn(w)
+            else:
+                dw = dw_prev  # reference stale-gradient field (opt.py:676-687)
+            dw, lmdw = momentum_step(dw, lmdw, w)
+            leaves = jax.tree_util.tree_leaves(w)
+            keys = jax.random.split(key, len(leaves))
+            keytree = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(w), list(keys)
+            )
+            dw = jax.tree.map(
+                lambda d, p, pc, k: d
+                - g_scope * (pc - p)
+                + noise_scale * jax.random.normal(k, p.shape, p.dtype),
+                dw,
+                w,
+                wc,
+                keytree,
+            )
+            w = jax.tree.map(lambda p, d: p - inner_lr * d, w, dw)
+            mw = jax.tree.map(lambda m, p: beta1 * m + (1 - beta1) * p, mw, w)
+            return (w, mw, lmdw, dw), None
+
+        if L > 0:
+            keys = jax.random.split(rng, L)
+            init_carry = (
+                params,
+                params,
+                jax.tree.map(jnp.zeros_like, params),
+                direction,
+            )
+            (w_end, mw, _, _), _ = jax.lax.scan(inner, init_carry, keys)
+            # restore anchor; outer gradient is w_anchor - <w> (optim.py:84-88)
+            outer_grad = jax.tree.map(lambda pc, m: pc - m, wc, mw)
+        else:
+            outer_grad = direction
+
+        dw, mdw = momentum_step(outer_grad, state.mdw, wc)
+        new_params = jax.tree.map(lambda p, d: p - lr * d, wc, dw)
+        return new_params, EntropySGDState(t=state.t + 1, mdw=mdw)
+
+    return Optimizer(name="EntropySGD", init=init, step=step, tx=None)

@@ -1,0 +1,720 @@
+"""SpectralTrainer — the training driver.
+
+Capability parity with reference ``OptWBoundEignVal``
+(opt.py:238-1855): per-batch spectral-penalty gradient step, per-epoch
+f/rho/h bookkeeping and TSV logging, validation-tracked best model,
+coefficient-of-variation early stop, checkpointing, test/rho-test
+evaluation cascade.
+
+TPU-native structure (NOT a port):
+  * ONE jitted train step contains: gradient linearization, the whole
+    power-iteration ``lax.while_loop``, the gated v^T(∇H)v pass, and
+    the optimizer update.  The reference runs its power loop in Python
+    with a device sync per iteration (opt.py:447-498); here an epoch is
+    ``n_batches`` XLA program invocations, full stop.
+  * Explicit carried state: ``(params, model_state, opt_state, v, rng)``
+    — the warm-started eigenvector is state, not a hidden attribute.
+  * Data parallel by construction: with a mesh, batches are sharded
+    over the ``data`` axis and params/eigenvector replicated; XLA
+    psums the batch reductions (gradients AND HVPs) over ICI.
+
+Log schema matches the reference exactly so downstream analysis/parse
+tooling ports unchanged: ``epoch f rho h norm [val_acc val_f1]``
+(opt.py:798-832); verbose per-batch ``batch rho norm gradf gradg``
+(opt.py:594, 714-719).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optwboundeigenval_tpu.data.loaders import ArrayLoader
+from optwboundeigenval_tpu.ops import curvature, eigen, spectral
+from optwboundeigenval_tpu.optim.api import Optimizer
+from optwboundeigenval_tpu.parallel import mesh as meshlib
+from optwboundeigenval_tpu.train import checkpoints
+from optwboundeigenval_tpu.train.task import Task
+from optwboundeigenval_tpu.utils.tree import (
+    tree_uniform_like,
+    tree_vdot,
+)
+
+
+def _as_loader(data, batch_size) -> ArrayLoader:
+    if isinstance(data, ArrayLoader):
+        return data
+    x, y = data
+    return ArrayLoader(np.asarray(x), np.asarray(y), batch_size=batch_size)
+
+
+class SpectralTrainer:
+    """Reference ctor surface (opt.py:239-316) mapped to TPU-native
+    pieces.  ``mu`` may be a scalar or a callable of the epoch index
+    (opt.py:598-602); ``pow_iter_alpha`` a scalar or callable of the
+    power-iteration index (opt.py:489)."""
+
+    def __init__(
+        self,
+        task: Task,
+        optimizer: Optimizer,
+        scheduler=None,
+        *,
+        mu: Union[float, Callable[[int], float]] = 0.0,
+        K: float = 0.0,
+        Kmin: float = 0.0,
+        eps: float = -1.0,
+        pow_iter_eps: float = 1e-3,
+        batch_size: int = 128,
+        min_iter: int = 10,
+        max_iter: int = 100,
+        max_pow_iter: int = 1000,
+        pow_iter: bool = True,
+        ignore_bad_vals: bool = True,
+        rand_init: bool = False,
+        pow_iter_alpha: Union[float, Callable] = 1.0,
+        gradg_clip: Optional[float] = None,
+        best_h: bool = False,
+        btch_h: bool = False,
+        verbose: bool = False,
+        header: str = "",
+        test_func: str = "maxacc",
+        precond_builder: Optional[Callable] = None,
+        kfac_batch: int = 1,
+        mesh=None,
+        seed: int = 1226,
+        log_dir: str = "./logs",
+        model_dir: str = "./models",
+    ):
+        self.task = task
+        self.optimizer = optimizer
+        self.scheduler = scheduler
+        self.mu = mu
+        self.K = float(K)
+        self.Kmin = float(Kmin)
+        self.eps = eps
+        self.pow_iter_eps = pow_iter_eps
+        self.batch_size = batch_size
+        self.min_iter = min_iter
+        self.max_iter = max_iter
+        self.max_pow_iter = max_pow_iter
+        self.pow_iter = pow_iter
+        self.ignore_bad_vals = ignore_bad_vals
+        self.rand_init = rand_init
+        self.pow_iter_alpha = pow_iter_alpha
+        self.gradg_clip = gradg_clip
+        self.best_h_val = best_h
+        self.verbose = verbose
+        self.test_func = test_func
+        self.precond_builder = precond_builder  # LOBPCG hook (ops/kfac.py)
+        self.kfac_batch = kfac_batch
+        self.mesh = mesh
+        self.seed = seed
+        self.log_dir = log_dir
+        self.model_dir = model_dir
+
+        # filename stem parity: header_OptName[_btchN]_muM_KX[_KminY]
+        # (opt.py:290-302)
+        mname = "Func" if callable(mu) else str(mu)
+        self.header = header
+        self.header2 = f"{header}_{optimizer.name}"
+        self.header2 += f"_btch{batch_size}" if btch_h else ""
+        self.header2 += f"_mu{mname}_K{K}"
+        self.header2 += f"_Kmin{Kmin}" if Kmin > 0 else ""
+        self.log_file = os.path.join(log_dir, self.header2 + ".log")
+        self.verbose_log_file = os.path.join(log_dir, self.header2 + "_verbose.log")
+
+        # mutable run state
+        self.params = None
+        self.model_state = None
+        self.opt_state = None
+        self.v = None
+        self.rng = jax.random.PRNGKey(seed)
+        self._np_rng = np.random.default_rng(seed)
+        self.i = 0  # epoch counter
+        self.f = 0.0
+        self.g = 0.0
+        self.h = 0.0
+        self.rho = 0.0
+        self.norm = 0.0
+        self.val_acc = 0.0
+        self.best_val_acc = 0.0
+        self.best_h = 0.0
+        self.best_rho = 0.0
+        self.best_iter = 0
+        self._precond_state = None
+        self._kfac_iter = kfac_batch
+        self._compiled: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+    def init_state(self, example_batch: Dict[str, np.ndarray]) -> None:
+        if self.params is not None:
+            return
+        self.rng, init_rng = jax.random.split(self.rng)
+        self.params, self.model_state = self.task.init(
+            init_rng, jnp.asarray(example_batch["x"])
+        )
+        self.opt_state = self.optimizer.init(self.params)
+        self.v = tree_uniform_like(self.params)
+        if self.mesh is not None:
+            self.params = meshlib.replicate(self.params, self.mesh)
+            self.model_state = meshlib.replicate(self.model_state, self.mesh)
+            self.opt_state = meshlib.replicate(self.opt_state, self.mesh)
+            self.v = meshlib.replicate(self.v, self.mesh)
+
+    @property
+    def ndim(self) -> int:
+        from optwboundeigenval_tpu.utils.tree import tree_size
+
+        return tree_size(self.params)
+
+    def _put_batch(self, batch):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            batch = meshlib.shard_batch(batch, self.mesh)
+        return batch
+
+    # ------------------------------------------------------------------
+    # jitted step builders
+    # ------------------------------------------------------------------
+    def _loss_fn(self, model_state, rng):
+        task = self.task
+
+        def loss_fn(params, batch):
+            variables = {"params": params, **model_state}
+            rngs = {"dropout": rng} if task.has_dropout else None
+            if task.has_batch_stats:
+                out, _ = task.model.apply(
+                    variables,
+                    batch["x"],
+                    train=True,
+                    rngs=rngs,
+                    mutable=["batch_stats"],
+                )
+            else:
+                out = task.model.apply(variables, batch["x"], train=True, rngs=rngs)
+            return task.loss(out, batch["y"], batch.get("w"))
+
+        return loss_fn
+
+    def _build_train_step(self):
+        """The single compiled program per batch: linearize -> power
+        iteration -> gated grad-rho -> optimizer update."""
+        pow_iter = self.pow_iter
+
+        def step(params, model_state, opt_state, v, batch, mu, rng, precond_state):
+            rng_step, rng_opt = jax.random.split(rng)
+            loss_fn = self._loss_fn(model_state, rng_step)
+
+            grads_f, hvp_fn = curvature.linearize_hvp(loss_fn, params, batch)
+
+            if pow_iter:
+                v0 = tree_uniform_like(params) if self.rand_init else v
+                precond = None
+                if self.precond_builder is not None and precond_state is not None:
+                    precond = lambda r: self.precond_builder(precond_state, r)
+                eig = eigen.estimate_dominant_eig(
+                    hvp_fn,
+                    v0,
+                    eps=self.pow_iter_eps,
+                    max_iter=self.max_pow_iter,
+                    alpha=self.pow_iter_alpha,
+                    precond=precond,
+                    ignore_bad_vals=self.ignore_bad_vals,
+                )
+                sg = spectral.penalty_and_grad(
+                    loss_fn,
+                    params,
+                    batch,
+                    eig.v,
+                    eig.rho,
+                    K=self.K,
+                    Kmin=self.Kmin,
+                    gradg_clip=self.gradg_clip,
+                )
+                direction = spectral.regularized_direction(grads_f, sg.grad_g, mu)
+                new_v = eig.v
+                metrics = {
+                    "rho": eig.rho,
+                    "norm": eig.norm,
+                    "res_change": eig.res_change,
+                    "pow_iters": eig.iters,
+                    "converged": eig.converged,
+                    "g": sg.g,
+                    "gradf_norm": jnp.sqrt(tree_vdot(grads_f, grads_f)),
+                    "gradg_norm": jnp.sqrt(tree_vdot(sg.grad_g, sg.grad_g)),
+                }
+            else:
+                direction = grads_f
+                new_v = v
+                zero = jnp.asarray(0.0, jnp.float32)
+                metrics = {
+                    "rho": zero,
+                    "norm": zero,
+                    "res_change": zero,
+                    "pow_iters": jnp.asarray(0, jnp.int32),
+                    "converged": jnp.asarray(True),
+                    "g": zero,
+                    "gradf_norm": jnp.sqrt(tree_vdot(grads_f, grads_f)),
+                    "gradg_norm": zero,
+                }
+
+            grad_fn = lambda p: jax.value_and_grad(loss_fn)(p, batch)
+            new_params, new_opt_state = self.optimizer.step(
+                direction, opt_state, params, grad_fn=grad_fn, rng=rng_opt
+            )
+
+            # BN running stats update (train_loss path; reference trains
+            # in train mode so stats advance every batch)
+            if self.task.has_batch_stats:
+                _, new_model_state = self.task.train_loss(
+                    new_params, model_state, batch, rng_step
+                )
+            else:
+                new_model_state = model_state
+
+            return new_params, new_model_state, new_opt_state, new_v, metrics
+
+        return jax.jit(step)
+
+    def _build_rho_step(self):
+        """comp_rho without an optimizer step (epoch-end h, rho_test)."""
+
+        def step(params, model_state, v, batch, rng, precond_state):
+            loss_fn = self._loss_fn(model_state, rng)
+            _, hvp_fn = curvature.linearize_hvp(loss_fn, params, batch)
+            v0 = tree_uniform_like(params) if self.rand_init else v
+            precond = None
+            if self.precond_builder is not None and precond_state is not None:
+                precond = lambda r: self.precond_builder(precond_state, r)
+            return eigen.estimate_dominant_eig(
+                hvp_fn,
+                v0,
+                eps=self.pow_iter_eps,
+                max_iter=self.max_pow_iter,
+                alpha=self.pow_iter_alpha,
+                precond=precond,
+                ignore_bad_vals=self.ignore_bad_vals,
+            )
+
+        return jax.jit(step)
+
+    def _build_eval_step(self):
+        def step(params, model_state, batch):
+            return self.task.eval_loss(params, model_state, batch)
+
+        return jax.jit(step)
+
+    def _get(self, name, builder):
+        if name not in self._compiled:
+            self._compiled[name] = builder()
+        return self._compiled[name]
+
+    # ------------------------------------------------------------------
+    # epoch loop (reference iter(), opt.py:580-763)
+    # ------------------------------------------------------------------
+    def _refresh_precond(self, batch, rng):
+        """LOBPCG: refresh K-FAC factors every ``kfac_batch`` batches
+        (opt.py:426-430)."""
+        if self.precond_builder is None:
+            return
+        if self._kfac_iter >= self.kfac_batch:
+            from optwboundeigenval_tpu.ops import kfac as kfac_ops
+
+            self._precond_state = kfac_ops.fit_factors(
+                self.task, self.params, self.model_state, batch, rng
+            )
+            self._kfac_iter = 1
+        else:
+            self._kfac_iter += 1
+
+    def iter_epoch(self, train_loader: ArrayLoader) -> None:
+        mu = self.mu(self.i) if callable(self.mu) else self.mu
+        train_step = self._get("train_step", self._build_train_step)
+        eval_step = self._get("eval_step", self._build_eval_step)
+        rho_step = self._get("rho_step", self._build_rho_step)
+
+        rbatch = int(self._np_rng.integers(0, max(len(train_loader), 1)))
+        rdata = None
+        vlog: List[str] = []
+
+        for j, data in enumerate(train_loader):
+            if j == rbatch:
+                rdata = data
+            batch = self._put_batch(data)
+            self.rng, step_rng = jax.random.split(self.rng)
+            self._refresh_precond(batch, step_rng)
+            (
+                self.params,
+                self.model_state,
+                self.opt_state,
+                self.v,
+                metrics,
+            ) = train_step(
+                self.params,
+                self.model_state,
+                self.opt_state,
+                self.v,
+                batch,
+                jnp.asarray(mu, jnp.float32),
+                step_rng,
+                self._precond_state,
+            )
+            self.rho = float(metrics["rho"])
+            self.norm = float(metrics["norm"])
+            self.g = float(metrics["g"])
+            if self.verbose:
+                vlog.append(
+                    f"{j}\t {self.rho:f}\t {self.norm:f}\t "
+                    f"{float(metrics['gradf_norm']):f}\t "
+                    f"{float(metrics['gradg_norm']):f}"
+                )
+
+        if self.verbose:
+            os.makedirs(self.log_dir, exist_ok=True)
+            mode = "w" if self.i == 0 else "a"
+            with open(self.verbose_log_file, mode) as fh:
+                fh.write("batch\t rho\t norm\t gradf\t gradg\n")
+                fh.write("\n".join(vlog) + "\n")
+
+        # epoch-end: weighted-mean f over all batches in eval mode
+        # (opt.py:730-739), g on one random batch (opt.py:740)
+        f_sum, w_sum = 0.0, 0.0
+        for data in train_loader:
+            batch = self._put_batch(data)
+            loss, _ = eval_step(self.params, self.model_state, batch)
+            bw = float(np.sum(data["w"]))
+            f_sum += float(loss) * bw
+            w_sum += bw
+        self.f = f_sum / max(w_sum, 1.0)
+
+        if self.pow_iter and rdata is not None:
+            batch = self._put_batch(rdata)
+            self.rng, r_rng = jax.random.split(self.rng)
+            eig = rho_step(
+                self.params, self.model_state, self.v, batch, r_rng,
+                self._precond_state,
+            )
+            self.v = eig.v
+            self.rho = float(eig.rho)
+            self.norm = float(eig.norm)
+            self.g = float(
+                spectral.penalty(jnp.asarray(self.rho), self.K, self.Kmin)
+            )
+        self.h = self.f + mu * self.g
+
+        # scheduler (ReduceLROnPlateau gets f — opt.py:760-763)
+        if self.scheduler is not None:
+            lr = self.scheduler.step(self.f)
+            self.opt_state = self.optimizer.set_learning_rate(self.opt_state, lr)
+
+    # ------------------------------------------------------------------
+    # full training (reference train(), opt.py:771-871)
+    # ------------------------------------------------------------------
+    def train(
+        self,
+        inputs=None,
+        target=None,
+        inputs_valid=None,
+        target_valid=None,
+        train_loader: Optional[ArrayLoader] = None,
+        valid_loader: Optional[ArrayLoader] = None,
+        train_loader_na: Optional[ArrayLoader] = None,
+        crops: bool = False,
+    ):
+        start = time.time()
+        if train_loader is None:
+            if inputs is None or target is None:
+                raise ValueError("No input data")
+            train_loader = _as_loader((inputs, target), self.batch_size)
+        if valid_loader is None and inputs_valid is not None:
+            valid_loader = _as_loader((inputs_valid, target_valid), self.batch_size)
+
+        first = next(iter(train_loader))
+        self.init_state(first)
+
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.model_dir, exist_ok=True)
+        has_valid = valid_loader is not None
+        with open(self.log_file, "w") as fh:
+            if has_valid:
+                fh.write("epoch\t f\t rho\t h\t norm\t val_acc\t val_f1\n")
+            else:
+                fh.write("epoch\t f\t rho\t h\t norm\n")
+
+        h_hist: List[float] = []
+        for self.i in range(self.max_iter):
+            self.iter_epoch(train_loader)
+            self.save()
+
+            row = (
+                f"{self.i}\t {self.f:f}\t {self.rho:f}\t {self.h:f}\t "
+                f"{self.norm:f}"
+            )
+            if has_valid:
+                _, self.val_acc, val_f1 = self.test_model(loader=valid_loader)
+                # best-model rule parity: best_h compares with `>` even
+                # though h is minimized — a documented reference quirk
+                # (opt.py:821-825); default tracks best val accuracy.
+                if self.best_h_val and self.h > self.best_h:
+                    self.best_h = self.h
+                    self.best_rho = self.rho
+                    self.best_iter = self.i
+                    self.save("_trained_model_best.msgpack")
+                elif not self.best_h_val and self.val_acc > self.best_val_acc:
+                    self.best_val_acc = self.val_acc
+                    self.best_rho = self.rho
+                    self.best_iter = self.i
+                    self.save("_trained_model_best.msgpack")
+                row += f"\t {self.val_acc:f}\t {val_f1:f}"
+            with open(self.log_file, "a") as fh:
+                fh.write(row + "\n")
+
+            h_hist.append(float(self.h))
+            # CoV early stop (opt.py:841-845); eps defaults to -1 (inert)
+            if self.i >= self.min_iter - 1 and len(h_hist) >= 2:
+                window = h_hist[-10:]
+                coef_var = float(np.std(window) / np.abs(np.mean(window)))
+                if coef_var <= self.eps:
+                    break
+
+        elapsed = time.time() - start
+        with open(self.log_file, "a") as fh:
+            fh.write(
+                f"Time elapsed: {elapsed // 3600:2.0f} hrs, "
+                f"{(elapsed % 3600) // 60:2.0f} min, {elapsed % 60:4.2f} sec\n"
+            )
+            fh.write(f"Best Iterate: {self.best_iter}\n")
+            if self.best_h_val:
+                fh.write(f"Best H: {self.best_h}\n")
+            else:
+                fh.write(f"Best Validation Accuracy: {self.best_val_acc}\n")
+            fh.write(f"Rho: {self.best_rho}\n")
+
+        # final train-set evaluation of the best model (opt.py:868-871)
+        eval_loader = train_loader_na if train_loader_na is not None else train_loader
+        if has_valid:
+            self.test_set(loader=eval_loader, label="Train", crops=crops)
+
+    # ------------------------------------------------------------------
+    # evaluation (reference test_model, opt.py:912-1039)
+    # ------------------------------------------------------------------
+    def test_model(
+        self,
+        x=None,
+        y=None,
+        loader=None,
+        classes=None,
+        model_classes=None,
+        other_classes=None,
+        crops: bool = False,
+    ):
+        from sklearn.metrics import confusion_matrix, f1_score, roc_auc_score
+
+        if loader is None:
+            loader = _as_loader((x, y), self.batch_size)
+        eval_step = self._get("eval_step", self._build_eval_step)
+
+        if other_classes is not None and isinstance(other_classes, int):
+            other_classes = [other_classes]
+
+        f_list, acc_list, f1_list, sizes = [], [], [], []
+        outputs_all, labels_all, oc = [], [], []
+        for data in loader:
+            batch = self._put_batch(data)
+            w = np.asarray(data["w"])
+            nreal = int(np.sum(w > 0))
+
+            xb = batch["x"]
+            crp = False
+            if crops and xb.ndim == 5:
+                # TenCrop averaging: (B, ncrops, H, W, C) -> mean logits
+                crp = True
+                bc, nc = xb.shape[0], xb.shape[1]
+                flat = {"x": xb.reshape((-1,) + xb.shape[2:]), "y": batch["y"],
+                        "w": batch["w"]}
+                out = self.task.predict(self.params, self.model_state, flat)
+                ops = out.reshape(bc, nc, -1).mean(axis=1)
+                lf = self.task.loss(ops, batch["y"], batch.get("w"))
+                f = float(lf)
+            else:
+                lf, ops = eval_step(self.params, self.model_state, batch)
+                f = float(lf)
+
+            ops = np.asarray(ops)[:nreal]
+            target = np.asarray(data["y"])[:nreal]
+            f_list.append(f)
+            sizes.append(nreal)
+
+            if other_classes is not None and classes is not None:
+                rest = [i for i in range(target.shape[1]) if i not in classes]
+                oc.extend(np.nansum(target[:, rest], axis=1))
+
+            if classes is not None and target.ndim > 1:
+                target = target[:, classes]
+                ops = ops[:, model_classes if model_classes is not None else classes]
+
+            if any(t in self.test_func for t in ("sigmoid", "logit")):
+                ops = 1.0 / (1.0 + np.exp(-ops))
+
+            if "max" in self.test_func:
+                predicted = np.argmax(ops, axis=1)
+            else:
+                predicted = (ops > 0.5).astype(np.float32)
+
+            if "acc" in self.test_func:
+                acc_list.append(float(np.mean(predicted == target)) * 100)
+
+            if "auc" in self.test_func or "conf" in self.test_func:
+                outputs_all.append(ops if "auc" in self.test_func else predicted)
+                labels_all.append(target)
+            else:
+                f1_list.append(
+                    f1_score(target, predicted, average="micro")
+                )
+
+        if "auc" in self.test_func:
+            labels = np.concatenate(labels_all)
+            outputs = np.concatenate(outputs_all)
+            ncls = outputs.shape[1]
+            roc, f1s = np.zeros(ncls), np.zeros(ncls)
+            for i in range(ncls):
+                o2, l2 = outputs[:, i], labels[:, i]
+                if other_classes is not None:
+                    keep = np.asarray([o in other_classes for o in oc])
+                    o2, l2 = o2[keep], l2[keep]
+                good = l2 == l2  # NaN-label masking (opt.py:1015-1017)
+                o2, l2 = o2[good], l2[good]
+                try:
+                    roc[i] = roc_auc_score(l2, o2)
+                except ValueError:
+                    roc[i] = np.nan
+                f1s[i] = f1_score(l2, (o2 > 0.5).astype(np.float32), average="micro")
+            test_acc, test_f1 = float(np.nanmean(roc)), float(f1s.mean())
+        elif "conf" in self.test_func:
+            labels = np.concatenate(labels_all)
+            outputs = np.concatenate(outputs_all)
+            conf = confusion_matrix(labels, outputs)
+            os.makedirs(self.log_dir, exist_ok=True)
+            np.savetxt(
+                os.path.join(self.log_dir, self.header2 + "_conf_matrix.csv"),
+                conf,
+                delimiter=",",
+            )
+            test_acc, test_f1 = None, None
+        else:
+            test_acc = float(np.average(acc_list, weights=sizes))
+            test_f1 = float(np.average(f1_list, weights=sizes))
+        test_loss = float(np.average(f_list, weights=sizes))
+        return test_loss, test_acc, test_f1
+
+    def test_model_best(self, x=None, y=None, loader=None, fname=None, **kw):
+        self.model_load(fname)
+        return self.test_model(x, y, loader, **kw)
+
+    def test_set(self, x=None, y=None, loader=None, fname=None, label="Train", **kw):
+        loss, acc, f1 = self.test_model_best(x, y, loader, fname, **kw)
+        with open(self.log_file, "a") as fh:
+            fh.write(f"{label} Loss: {loss}\n")
+            fh.write(f"{label} Accuracy: {acc}\n")
+            fh.write(f"{label} F1: {f1}\n")
+        return loss, acc, f1
+
+    # ------------------------------------------------------------------
+    # rho_test (opt.py:882-910)
+    # ------------------------------------------------------------------
+    def rho_test(self, x=None, y=None, loader=None, fname=None):
+        if fname is not None:
+            self.model_load(fname)
+        if loader is None:
+            loader = _as_loader((x, y), self.batch_size)
+        rho_step = self._get("rho_step", self._build_rho_step)
+        stats, sizes = [], []
+        for j, data in enumerate(loader):
+            batch = self._put_batch(data)
+            self.rng, r_rng = jax.random.split(self.rng)
+            t0 = time.time()
+            eig = jax.block_until_ready(
+                rho_step(
+                    self.params, self.model_state, self.v, batch, r_rng,
+                    self._precond_state,
+                )
+            )
+            dt = time.time() - t0
+            self.v = eig.v
+            stats.append(
+                [
+                    j,
+                    float(eig.rho),
+                    float(eig.norm),
+                    int(eig.iters),
+                    float(eig.res_change),
+                    dt,
+                ]
+            )
+            sizes.append(float(np.sum(data["w"])))
+        arr = np.asarray(stats, dtype=float)
+        means = np.average(arr, axis=0, weights=sizes)[1:]
+        os.makedirs(self.log_dir, exist_ok=True)
+        np.savetxt(
+            os.path.join(self.log_dir, self.header2 + "_rho_test.csv"),
+            arr,
+            delimiter=",",
+        )
+        return means
+
+    # ------------------------------------------------------------------
+    # checkpointing (opt.py:765-769, 1041-1071)
+    # ------------------------------------------------------------------
+    def save(self, tail: str = "_trained_model.msgpack"):
+        payload = {
+            "params": self.params,
+            "model_state": self.model_state,
+            "v": self.v,
+            "epoch": np.asarray(self.i),
+        }
+        checkpoints.save_checkpoint(
+            os.path.join(self.model_dir, self.header2 + tail), payload
+        )
+
+    def model_load(self, fname: Optional[str] = None):
+        if fname is None:
+            fname = os.path.join(
+                self.model_dir, self.header2 + "_trained_model_best.msgpack"
+            )
+        payload = checkpoints.load_checkpoint(fname)
+        self.params = checkpoints.restore_like(self.params, payload["params"])
+        self.model_state = checkpoints.restore_like(
+            self.model_state, payload["model_state"]
+        )
+        if "v" in payload:
+            self.v = checkpoints.restore_like(self.v, payload["v"])
+        if self.mesh is not None:
+            self.params = meshlib.replicate(self.params, self.mesh)
+            self.model_state = meshlib.replicate(self.model_state, self.mesh)
+            self.v = meshlib.replicate(self.v, self.mesh)
+
+    # ------------------------------------------------------------------
+    # log summary (reference parse(), opt.py:1244-1257)
+    # ------------------------------------------------------------------
+    def parse(self) -> Dict[str, str]:
+        with open(self.log_file) as fh:
+            lines = fh.readlines()[-10:]
+        out: Dict[str, str] = {}
+        for ln in lines:
+            if ":" in ln:
+                k, _, val = ln.partition(":")
+                out[k.strip().replace(" ", "_")] = val.strip()
+        os.makedirs(self.log_dir, exist_ok=True)
+        summary = os.path.join(self.log_dir, self.header2 + "_summary.tsv")
+        with open(summary, "w") as fh:
+            fh.write("\t".join(out.keys()) + "\n")
+            fh.write("\t".join(out.values()) + "\n")
+        return out

@@ -8,7 +8,10 @@ are validated here without hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the image's sitecustomize pre-imports jax with the TPU plugin
+# registered, so JAX_PLATFORMS is already latched by the time conftest
+# runs — the platform override must go through jax.config.  XLA_FLAGS
+# is still read lazily at first backend initialization.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Oracle tests compare third-order autodiff against dense Hessians; give
 # them real float64 on CPU (the reference runs its curvature kernel in

@@ -1,0 +1,98 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY.md §4e): the
+sharded train step must produce the same math as single-device, with
+batches split over the ``data`` axis and XLA inserting the psums."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optwboundeigenval_tpu.data.loaders import ArrayLoader
+from optwboundeigenval_tpu.data.synthetic import make_classification
+from optwboundeigenval_tpu.models import ForestNet
+from optwboundeigenval_tpu.ops import curvature, eigen
+from optwboundeigenval_tpu.optim import sgd
+from optwboundeigenval_tpu.parallel import make_mesh, replicate, shard_batch
+from optwboundeigenval_tpu.train import SpectralTrainer, Task
+from optwboundeigenval_tpu.utils.tree import tree_ravel, tree_uniform_like
+
+
+def test_mesh_construction(eight_devices):
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+    mesh2 = make_mesh(data=4, model=2)
+    assert mesh2.shape["data"] == 4 and mesh2.shape["model"] == 2
+
+
+def test_sharded_hvp_matches_single_device(eight_devices):
+    """An HVP on a data-sharded batch equals the single-device HVP —
+    the psum'd batch reduction is exact."""
+    mesh = make_mesh()
+    task = Task(model=ForestNet(hidden=8, num_classes=4))
+    x, y = make_classification(64, 10, 4, seed=0)
+    batch = {"x": jnp.asarray(x), "y": jnp.asarray(y),
+             "w": jnp.ones(64, jnp.float32)}
+    params, _ = task.init(jax.random.PRNGKey(0), batch["x"])
+
+    def loss_fn(p, b):
+        out = task.model.apply({"params": p}, b["x"], train=True)
+        return task.loss(out, b["y"], b["w"])
+
+    v = tree_uniform_like(params)
+    hv_single = curvature.hvp(loss_fn, params, batch, v)
+
+    sharded_batch = shard_batch(batch, mesh)
+    params_r = replicate(params, mesh)
+    v_r = replicate(v, mesh)
+    hv_sharded = jax.jit(lambda p, b, vv: curvature.hvp(loss_fn, p, b, vv))(
+        params_r, sharded_batch, v_r
+    )
+    a, _ = tree_ravel(hv_single)
+    b, _ = tree_ravel(hv_sharded)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_eigensolve_matches_single_device(eight_devices):
+    mesh = make_mesh()
+    task = Task(model=ForestNet(hidden=8, num_classes=4))
+    x, y = make_classification(64, 10, 4, seed=1)
+    batch = {"x": jnp.asarray(x), "y": jnp.asarray(y),
+             "w": jnp.ones(64, jnp.float32)}
+    params, _ = task.init(jax.random.PRNGKey(0), batch["x"])
+
+    def loss_fn(p, b):
+        out = task.model.apply({"params": p}, b["x"], train=True)
+        return task.loss(out, b["y"], b["w"])
+
+    def solve(p, b):
+        _, hvp_fn = curvature.linearize_hvp(loss_fn, p, b)
+        return eigen.estimate_dominant_eig(
+            hvp_fn, tree_uniform_like(p), eps=1e-6, max_iter=500
+        )
+
+    r1 = jax.jit(solve)(params, batch)
+    r2 = jax.jit(solve)(replicate(params, mesh), shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(r1.rho), float(r2.rho), rtol=1e-4)
+
+
+def test_trainer_with_mesh(tmp_path, eight_devices):
+    mesh = make_mesh()
+    task = Task(model=ForestNet(hidden=8, num_classes=4))
+    x, y = make_classification(256, 10, 4, seed=2)
+    loader = ArrayLoader(x, y, batch_size=32, shuffle=True, seed=3)
+    tr = SpectralTrainer(
+        task,
+        sgd(0.1),
+        mu=0.01,
+        K=1.0,
+        batch_size=32,
+        max_iter=2,
+        min_iter=1,
+        max_pow_iter=20,
+        pow_iter_eps=1e-2,
+        header="MESH",
+        mesh=mesh,
+        log_dir=str(tmp_path / "logs"),
+        model_dir=str(tmp_path / "models"),
+    )
+    tr.train(train_loader=loader)
+    assert np.isfinite(tr.f) and np.isfinite(tr.h)

@@ -1,0 +1,153 @@
+"""End-to-end trainer tests on synthetic data (the golden-run tier of
+SURVEY.md §4): spectral-regularized training must run, log the
+reference TSV schema, reduce the objective, and (with a small K) pull
+rho down versus unregularized training."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from optwboundeigenval_tpu.data.loaders import ArrayLoader
+from optwboundeigenval_tpu.data.synthetic import make_classification
+from optwboundeigenval_tpu.models import ForestNet
+from optwboundeigenval_tpu.optim import EntropySGD, SAM, adam, sgd
+from optwboundeigenval_tpu.train import SpectralTrainer, Task
+
+
+def make_trainer(tmp_path, optimizer=None, **kw):
+    task = Task(model=ForestNet(hidden=12, num_classes=4))
+    defaults = dict(
+        mu=0.01,
+        K=1.0,
+        batch_size=32,
+        max_iter=3,
+        min_iter=1,
+        max_pow_iter=30,
+        pow_iter_eps=1e-2,
+        header="TEST",
+        log_dir=str(tmp_path / "logs"),
+        model_dir=str(tmp_path / "models"),
+    )
+    defaults.update(kw)
+    return SpectralTrainer(task, optimizer or sgd(0.1), **defaults)
+
+
+@pytest.fixture
+def data():
+    x, y = make_classification(320, 10, 4, seed=0)
+    x_v, y_v = make_classification(64, 10, 4, seed=1)
+    return (
+        ArrayLoader(x, y, batch_size=32, shuffle=True, seed=7),
+        ArrayLoader(x_v, y_v, batch_size=32),
+    )
+
+
+def test_train_end_to_end(tmp_path, data):
+    train_loader, valid_loader = data
+    tr = make_trainer(tmp_path)
+    tr.train(train_loader=train_loader, valid_loader=valid_loader)
+    # log schema parity: epoch f rho h norm val_acc val_f1
+    with open(tr.log_file) as fh:
+        lines = fh.read().strip().splitlines()
+    assert lines[0].split() == ["epoch", "f", "rho", "h", "norm", "val_acc", "val_f1"]
+    rows = [ln for ln in lines[1:] if ln[0].isdigit()]
+    assert len(rows) == 3
+    first, last = map(lambda r: [float(t) for t in r.split()], (rows[0], rows[-1]))
+    assert last[1] < first[1]  # f decreased
+    # checkpoints exist
+    assert os.path.exists(
+        os.path.join(tr.model_dir, tr.header2 + "_trained_model.msgpack")
+    )
+    assert os.path.exists(
+        os.path.join(tr.model_dir, tr.header2 + "_trained_model_best.msgpack")
+    )
+    # test cascade works
+    loss, acc, f1 = tr.test_model(loader=valid_loader)
+    assert 0 <= acc <= 100 and 0 <= f1 <= 1
+
+
+def test_regularizer_reduces_rho(tmp_path, data):
+    train_loader, _ = data
+    unreg = make_trainer(tmp_path, header="UNREG", mu=0.0, K=0.0, max_iter=6)
+    unreg.train(train_loader=train_loader)
+    reg = make_trainer(tmp_path, header="REG", mu=0.5, K=0.2, max_iter=6)
+    reg.train(train_loader=train_loader)
+    assert reg.rho < unreg.rho
+
+
+def test_pow_iter_off_plain_training(tmp_path, data):
+    train_loader, _ = data
+    tr = make_trainer(tmp_path, header="PLAIN", pow_iter=False, max_iter=2)
+    tr.train(train_loader=train_loader)
+    assert tr.rho == 0.0 and tr.g == 0.0
+    assert np.isfinite(tr.f)
+
+
+def test_sam_optimizer(tmp_path, data):
+    train_loader, valid_loader = data
+    tr = make_trainer(
+        tmp_path, header="SAMT", optimizer=SAM(sgd(0.1), rho=0.05), max_iter=2
+    )
+    tr.train(train_loader=train_loader, valid_loader=valid_loader)
+    assert np.isfinite(tr.f)
+    assert tr.header2.startswith("SAMT_SAM")
+
+
+def test_entropy_sgd_optimizer(tmp_path, data):
+    train_loader, _ = data
+    tr = make_trainer(
+        tmp_path,
+        header="ESGD",
+        optimizer=EntropySGD(lr=0.1, L=5, g0=1e-2),
+        max_iter=2,
+    )
+    tr.train(train_loader=train_loader)
+    assert np.isfinite(tr.f)
+
+
+def test_adam_and_mu_schedule(tmp_path, data):
+    train_loader, _ = data
+    mu_fn = lambda i: max(0.0, (i - 1) / 10)
+    tr = make_trainer(tmp_path, header="MUF", optimizer=adam(1e-3), mu=mu_fn,
+                      max_iter=2)
+    tr.train(train_loader=train_loader)
+    assert "muFunc" in tr.header2
+    assert np.isfinite(tr.h)
+
+
+def test_rho_test_csv(tmp_path, data):
+    train_loader, _ = data
+    tr = make_trainer(tmp_path, header="RHOT", max_iter=1)
+    tr.train(train_loader=train_loader)
+    means = tr.rho_test(loader=train_loader)
+    assert len(means) == 5
+    assert os.path.exists(os.path.join(tr.log_dir, tr.header2 + "_rho_test.csv"))
+
+
+def test_checkpoint_roundtrip(tmp_path, data):
+    train_loader, _ = data
+    tr = make_trainer(tmp_path, header="CKPT", max_iter=1)
+    tr.train(train_loader=train_loader)
+    f_before = tr.test_model(loader=train_loader)[0]
+    # mutate params, reload, evaluate again
+    tr.params = jax.tree.map(lambda x: x * 0.0, tr.params)
+    tr.model_load(
+        os.path.join(tr.model_dir, tr.header2 + "_trained_model.msgpack")
+    )
+    f_after = tr.test_model(loader=train_loader)[0]
+    np.testing.assert_allclose(f_before, f_after, rtol=1e-5)
+
+
+def test_scheduler_updates_lr(tmp_path, data):
+    from optwboundeigenval_tpu.optim.schedules import LambdaLR
+
+    train_loader, _ = data
+    opt = sgd(0.5)
+    sched = LambdaLR(0.5, lambda k: 1.0 / (1.0 + k))
+    tr = make_trainer(tmp_path, header="SCHED", optimizer=opt, scheduler=sched,
+                      max_iter=3)
+    tr.train(train_loader=train_loader)
+    lr = float(opt.get_learning_rate(tr.opt_state))
+    np.testing.assert_allclose(lr, 0.5 / 4.0, rtol=1e-6)
