@@ -58,7 +58,9 @@ class Optimizer:
 def from_optax(
     tx: optax.GradientTransformation, name: str = "Optax"
 ) -> Optimizer:
-    def step(direction, state, params, *, grad_fn: Optional[GradFn] = None, rng=None):
+    def step(
+        direction, state, params, *, grad_fn: Optional[GradFn] = None, rng=None, **_
+    ):
         updates, new_state = tx.update(direction, state, params)
         return optax.apply_updates(params, updates), new_state
 

@@ -66,7 +66,7 @@ def EntropySGD(
                 dw = mdw
         return dw, mdw
 
-    def step(direction, state, params, *, grad_fn=None, rng=None):
+    def step(direction, state, params, *, grad_fn=None, rng=None, **_):
         assert grad_fn is not None and rng is not None, (
             "EntropySGD requires grad_fn (inner SGLD) and rng (noise)"
         )

@@ -41,7 +41,7 @@ def SAM(
     def init(params):
         return base_tx.init(params)
 
-    def step(direction, state, params, *, grad_fn=None, rng=None):
+    def step(direction, state, params, *, grad_fn=None, rng=None, **_):
         assert grad_fn is not None, "SAM requires grad_fn (two forward-backwards)"
         if adaptive:
             scaled = jax.tree.map(lambda w, g: jnp.abs(w) * g, params, direction)

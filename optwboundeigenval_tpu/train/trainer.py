@@ -84,6 +84,8 @@ class SpectralTrainer:
         verbose: bool = False,
         header: str = "",
         test_func: str = "maxacc",
+        lobpcg: bool = False,
+        kfac_rand: bool = True,
         precond_builder: Optional[Callable] = None,
         kfac_batch: int = 1,
         mesh=None,
@@ -111,7 +113,15 @@ class SpectralTrainer:
         self.best_h_val = best_h
         self.verbose = verbose
         self.test_func = test_func
-        self.precond_builder = precond_builder  # LOBPCG hook (ops/kfac.py)
+        self.lobpcg = lobpcg
+        self.kfac_rand = kfac_rand
+        # LOBPCG mode: precondition the eigensolver residual through the
+        # K-FAC factored inverse (opt.py:426-430, 491-493)
+        if lobpcg and precond_builder is None:
+            from optwboundeigenval_tpu.ops import kfac as kfac_ops
+
+            precond_builder = kfac_ops.precond_apply
+        self.precond_builder = precond_builder
         self.kfac_batch = kfac_batch
         self.mesh = mesh
         self.seed = seed
@@ -162,6 +172,15 @@ class SpectralTrainer:
             init_rng, jnp.asarray(example_batch["x"])
         )
         self.opt_state = self.optimizer.init(self.params)
+        # model-shape-dependent optimizer state (K-FAC factor buffers,
+        # reference builds these at hook registration, kfac.py:67-79)
+        if hasattr(self.optimizer, "build_extra_state"):
+            self.rng, extra_rng = jax.random.split(self.rng)
+            batch = {k: jnp.asarray(v) for k, v in example_batch.items()}
+            self.opt_state = self.optimizer.build_extra_state(
+                self.opt_state, self.task, self.params, self.model_state,
+                batch, extra_rng,
+            )
         self.v = tree_uniform_like(self.params)
         if self.mesh is not None:
             self.params = meshlib.replicate(self.params, self.mesh)
@@ -267,8 +286,22 @@ class SpectralTrainer:
                 }
 
             grad_fn = lambda p: jax.value_and_grad(loss_fn)(p, batch)
+            stats_fn = None
+            if getattr(self.optimizer, "needs_stats", False):
+                from optwboundeigenval_tpu.ops import kfac as kfac_ops
+
+                def stats_fn(p, r):
+                    r1, r2 = jax.random.split(r)
+                    _, caps = kfac_ops.capture(
+                        self.task, p, model_state, batch, r1,
+                        sample_targets=getattr(self.optimizer, "kfac_rand", True),
+                        sample_rng=r2,
+                    )
+                    return caps
+
             new_params, new_opt_state = self.optimizer.step(
-                direction, opt_state, params, grad_fn=grad_fn, rng=rng_opt
+                direction, opt_state, params, grad_fn=grad_fn, rng=rng_opt,
+                stats_fn=stats_fn,
             )
 
             # BN running stats update (train_loss path; reference trains
@@ -322,14 +355,22 @@ class SpectralTrainer:
     # ------------------------------------------------------------------
     def _refresh_precond(self, batch, rng):
         """LOBPCG: refresh K-FAC factors every ``kfac_batch`` batches
-        (opt.py:426-430)."""
+        (opt.py:426-430), carrying the running EMA stats across
+        refreshes."""
         if self.precond_builder is None:
             return
         if self._kfac_iter >= self.kfac_batch:
             from optwboundeigenval_tpu.ops import kfac as kfac_ops
 
-            self._precond_state = kfac_ops.fit_factors(
-                self.task, self.params, self.model_state, batch, rng
+            if "fit_factors" not in self._compiled:
+                self._compiled["fit_factors"] = jax.jit(
+                    lambda p, ms, b, r, prev: kfac_ops.fit_factors(
+                        self.task, p, ms, b, r, prev=prev,
+                        sample_targets=self.kfac_rand,
+                    )
+                )
+            self._precond_state = self._compiled["fit_factors"](
+                self.params, self.model_state, batch, rng, self._precond_state
             )
             self._kfac_iter = 1
         else:
