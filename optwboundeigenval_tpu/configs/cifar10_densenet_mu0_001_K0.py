@@ -1,0 +1,7 @@
+"""CIFAR-10 DenseNet-40-12 recipe (reference params/cifar10_DenseNet_mu0_001_K0.py)."""
+
+from optwboundeigenval_tpu.configs._families import cifar10_config
+
+
+def options():
+    return cifar10_config(mu=0.001, K=0.0)

@@ -1,0 +1,7 @@
+"""USPS CNN spectral-reg recipe (reference params/usps_CNN_mu0_K0.py)."""
+
+from optwboundeigenval_tpu.configs._families import usps_config
+
+
+def options():
+    return usps_config(mu=0.0, K=0.0)

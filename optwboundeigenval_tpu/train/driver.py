@@ -1,0 +1,168 @@
+"""Config driver — the reference ``main(pfile)`` entry point
+(opt.py:1984-2102) rebuilt for the TPU trainer.
+
+A config module exports ``options() -> dict`` holding live objects
+(Task/model, optimizer, loaders) exactly like the reference params
+files (SURVEY.md §2.10).  ``run(options)`` filters the dict into the
+trainer constructor by reflection (the reference's
+``missing_params``/``arg_dic``, opt.py:1940-1965) and executes the
+train -> test -> parse -> aug_test -> comp_test -> rho_test ->
+saliency/jaccard cascade off the option flags (opt.py:2018-2102).
+"""
+
+from __future__ import annotations
+
+import importlib
+import inspect
+from typing import Any, Dict
+
+import numpy as np
+
+from optwboundeigenval_tpu.data.loaders import ArrayLoader
+from optwboundeigenval_tpu.train.task import Task, losses
+from optwboundeigenval_tpu.train.trainer import SpectralTrainer
+
+
+def arg_dic(fn, options: Dict[str, Any], replace=None) -> Dict[str, Any]:
+    """Filter ``options`` down to the kwargs ``fn`` accepts
+    (opt.py:1963-1965); ``replace`` maps option names to arg names
+    (opt.py:2009)."""
+    sig = inspect.signature(fn)
+    names = set(sig.parameters)
+    out = {k: v for k, v in options.items() if k in names}
+    for src, dst in (replace or {}).items():
+        if src in options and dst in names:
+            out[dst] = options[src]
+    return out
+
+
+def build_trainer(options: Dict[str, Any]) -> SpectralTrainer:
+    task = options.get("task")
+    if task is None:
+        loss = options.get("loss", "cross_entropy")
+        if isinstance(loss, str):
+            loss = losses[loss]
+        task = Task(
+            model=options["model"],
+            loss=loss,
+            has_batch_stats=options.get("has_batch_stats", False),
+            has_dropout=options.get("has_dropout", False),
+        )
+    optimizer = options["optimizer"]
+    kwargs = arg_dic(SpectralTrainer.__init__, options, replace={"tol": "eps"})
+    kwargs.pop("task", None)
+    kwargs.pop("optimizer", None)
+    kwargs.pop("scheduler", None)
+    av = options.get("asymmetric_valley", False)
+    if av:
+        from optwboundeigenval_tpu.train.asymmetric_valley import (
+            AsymmetricValleyTrainer,
+        )
+
+        kwargs2 = arg_dic(AsymmetricValleyTrainer.__init__, options)
+        kwargs2.update(kwargs)
+        kwargs2.pop("task", None)
+        kwargs2.pop("optimizer", None)
+        kwargs2.pop("scheduler", None)
+        return AsymmetricValleyTrainer(
+            task, optimizer, options.get("scheduler"), **kwargs2
+        )
+    return SpectralTrainer(task, optimizer, options.get("scheduler"), **kwargs)
+
+
+def _loaders(options, batch_size):
+    """Wrap raw arrays into loaders (assert_dl, opt.py:1969-1973)."""
+
+    def get(key_loader, key_x, key_y):
+        if options.get(key_loader) is not None:
+            return options[key_loader]
+        if options.get(key_x) is not None:
+            return ArrayLoader(
+                np.asarray(options[key_x]),
+                np.asarray(options[key_y]),
+                batch_size,
+            )
+        return None
+
+    train_loader = get("train_loader", "inputs", "target")
+    valid_loader = get("valid_loader", "inputs_valid", "target_valid")
+    test_loaders = options.get("test_loader")
+    if test_loaders is None and options.get("inputs_test") is not None:
+        test_loaders = ArrayLoader(
+            np.asarray(options["inputs_test"]),
+            np.asarray(options["target_test"]),
+            batch_size,
+        )
+    if test_loaders is not None and not isinstance(test_loaders, list):
+        test_loaders = [test_loaders]
+    return train_loader, valid_loader, test_loaders
+
+
+def run(options: Dict[str, Any]) -> SpectralTrainer:
+    """Execute the full cascade (opt.py:2012-2102)."""
+    trainer = build_trainer(options)
+    batch_size = options.get("batch_size", 128)
+    train_loader, valid_loader, test_loaders = _loaders(options, batch_size)
+    train_loader_na = options.get("train_loader_na")
+    crops = options.get("crops", False)
+
+    if options.get("train", True):
+        trainer.train(
+            train_loader=train_loader,
+            valid_loader=valid_loader,
+            train_loader_na=train_loader_na,
+            crops=crops,
+        )
+    else:
+        if train_loader is not None:
+            trainer.init_state(next(iter(train_loader)))
+        trainer.model_load(options.get("fname"))
+
+    if options.get("test", True) and test_loaders:
+        for tl in test_loaders:
+            trainer.test_set(
+                loader=tl,
+                label="Test",
+                crops=crops,
+                **arg_dic(
+                    trainer.test_model,
+                    {
+                        k: options[k]
+                        for k in ("classes", "model_classes", "other_classes")
+                        if k in options
+                    },
+                ),
+            )
+
+    trainer.parse()
+
+    if options.get("aug_test", False) and options.get("test_loader_aug") is not None:
+        tla = options["test_loader_aug"]
+        for tl in tla if isinstance(tla, list) else [tla]:
+            trainer.test_set(loader=tl, label="Aug Test", crops=crops)
+
+    if options.get("comp_test", False) and test_loaders:
+        from optwboundeigenval_tpu.analysis import comp_test as _comp_test
+
+        _comp_test(trainer, test_loaders, options)
+
+    if options.get("rho_test", False):
+        loader = (
+            train_loader_na if train_loader_na is not None else train_loader
+        )
+        trainer.rho_test(loader=loader)
+
+    if options.get("saliency", False) and test_loaders:
+        from optwboundeigenval_tpu.analysis.saliency import saliency_maps
+
+        for tl in test_loaders:
+            saliency_maps(trainer, tl, max_img=options.get("max_img", 10))
+
+    return trainer
+
+
+def main(config_name: str) -> SpectralTrainer:
+    """CLI entry: ``python main.py <config module>`` — mirrors
+    main.py:16-19 + opt.py:1984."""
+    mod = importlib.import_module(config_name)
+    return run(mod.options())

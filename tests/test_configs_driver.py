@@ -1,0 +1,154 @@
+"""Config + driver tests: every config module must build a valid
+options dict and trainer; the driver cascade must run end-to-end on a
+small recipe; DenseNet3 and the AsymmetricValley trainer must work."""
+
+import importlib
+import os
+import pkgutil
+
+import jax
+import numpy as np
+import pytest
+
+import optwboundeigenval_tpu.configs as configs_pkg
+from optwboundeigenval_tpu.data.loaders import ArrayLoader
+from optwboundeigenval_tpu.data.synthetic import make_classification, make_images
+from optwboundeigenval_tpu.models import DenseNet3, ForestNet
+from optwboundeigenval_tpu.optim import sgd
+from optwboundeigenval_tpu.train import SpectralTrainer, Task
+from optwboundeigenval_tpu.train.driver import build_trainer, run
+
+ALL_CONFIGS = [
+    m.name
+    for m in pkgutil.iter_modules(configs_pkg.__path__)
+    if not m.name.startswith("_")
+]
+
+
+def test_config_inventory():
+    # 27 configs in round 1 (usps 14, forest 7, cifar10 7 — chest x-ray
+    # and cifar100 land with the DenseNet121 stack)
+    assert len(ALL_CONFIGS) >= 27
+
+
+@pytest.mark.parametrize(
+    "name", [c for c in ALL_CONFIGS if c.startswith(("usps", "forest"))]
+)
+def test_config_builds_trainer(name):
+    mod = importlib.import_module(f"optwboundeigenval_tpu.configs.{name}")
+    opt = mod.options()
+    assert "model" in opt and "optimizer" in opt
+    tr = build_trainer(opt)
+    assert tr.header2
+
+
+@pytest.mark.parametrize(
+    "name", [c for c in ALL_CONFIGS if c.startswith("cifar10")]
+)
+def test_cifar_config_options(name):
+    mod = importlib.import_module(f"optwboundeigenval_tpu.configs.{name}")
+    opt = mod.options()
+    assert opt["has_batch_stats"] is True
+    assert opt["pow_iter_eps"] == 0.05
+
+
+def test_driver_cascade_end_to_end(tmp_path, monkeypatch):
+    """python main.py <config> equivalent on a tiny synthetic recipe:
+    train -> test -> parse -> rho_test."""
+    monkeypatch.chdir(tmp_path)
+    x, y = make_classification(256, 10, 4, seed=0)
+    xt, yt = make_classification(64, 10, 4, seed=0)
+    opt = {
+        "model": ForestNet(hidden=10, num_classes=4),
+        "optimizer": sgd(0.1),
+        "loss": "cross_entropy",
+        "mu": 0.01,
+        "K": 1.0,
+        "batch_size": 32,
+        "max_iter": 2,
+        "min_iter": 1,
+        "max_pow_iter": 20,
+        "pow_iter_eps": 1e-2,
+        "header": "DRV",
+        "train_loader": ArrayLoader(x, y, 32, shuffle=True, seed=1),
+        "valid_loader": ArrayLoader(xt, yt, 32),
+        "test_loader": [ArrayLoader(xt, yt, 32)],
+        "train": True,
+        "test": True,
+        "rho_test": True,
+    }
+    tr = run(opt)
+    log = open(tr.log_file).read()
+    assert "Test Loss:" in log and "Train Loss:" in log
+    assert os.path.exists(os.path.join("./logs", tr.header2 + "_rho_test.csv"))
+    assert os.path.exists(
+        os.path.join("./logs", tr.header2 + "_summary.tsv")
+    )
+
+
+def test_densenet3_forward_and_hvp():
+    """DenseNet3 (depth-10 for speed) forward + one spectral step with
+    BN statistics handled."""
+    task = Task(model=DenseNet3(depth=10, growth_rate=4, num_classes=10),
+                has_batch_stats=True)
+    x, y = make_images(16, shape=(32, 32, 3), n_classes=10, seed=0)
+    loader = ArrayLoader(x, y, batch_size=8)
+    tr = SpectralTrainer(
+        task, sgd(0.1), mu=0.01, K=1.0, batch_size=8, max_iter=1, min_iter=1,
+        max_pow_iter=5, pow_iter_eps=1e-1, header="DN3",
+        log_dir="/tmp/dn3/logs", model_dir="/tmp/dn3/models",
+    )
+    tr.train(train_loader=loader)
+    assert np.isfinite(tr.f) and np.isfinite(tr.rho)
+    # batch_stats must have advanced from init
+    assert tr.model_state and "batch_stats" in tr.model_state
+
+
+def test_asymmetric_valley_trainer(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from optwboundeigenval_tpu.train.asymmetric_valley import (
+        AsymmetricValleyTrainer,
+    )
+
+    x, y = make_classification(192, 10, 4, seed=0)
+    xv, yv = make_classification(64, 10, 4, seed=0)
+    task = Task(model=ForestNet(hidden=10, num_classes=4))
+    tr = AsymmetricValleyTrainer(
+        task, sgd(0.1),
+        swa=True, swa_start=2, sgd_start=4, save_freq=1, eval_freq=1,
+        division_part=4, distances=2,
+        mu=0.0, K=0.0, batch_size=32, max_iter=6, min_iter=6,
+        header="AV", log_dir=str(tmp_path / "logs"),
+        model_dir=str(tmp_path / "models"),
+    )
+    tr.train(
+        train_loader=ArrayLoader(x, y, 32, shuffle=True, seed=1),
+        valid_loader=ArrayLoader(xv, yv, 32),
+    )
+    assert tr.swa_n >= 1
+    log = open(tr.log_file).read()
+    assert "Best Validation Accuracy" in log
+    # interpolation artifacts appear when both sgd and swa points exist
+    if tr.sgd_path is not None:
+        assert os.path.exists(
+            str(tmp_path / "logs" / "asymmetric_valley_train_loss_results.txt")
+        )
+
+
+def test_saliency_maps(tmp_path):
+    from optwboundeigenval_tpu.analysis.saliency import saliency_maps
+    from optwboundeigenval_tpu.models import CNNUSPS
+
+    x, y = make_images(16, shape=(16, 16, 1), n_classes=10, seed=0)
+    loader = ArrayLoader(x, y, batch_size=8)
+    task = Task(model=CNNUSPS())
+    tr = SpectralTrainer(
+        task, sgd(0.1), mu=0.0, K=0.0, batch_size=8, max_iter=1, min_iter=1,
+        pow_iter=False, header="SAL",
+        log_dir=str(tmp_path / "logs"), model_dir=str(tmp_path / "models"),
+    )
+    tr.train(train_loader=loader)
+    saliency_maps(tr, loader, max_img=2, plot_dir=str(tmp_path / "plots"))
+    assert os.path.exists(
+        str(tmp_path / "plots" / f"{tr.header2}_saliency_0.png")
+    )
