@@ -24,4 +24,23 @@ TPU-first architecture (NOT a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the spectral train step for a large
+# model (linearize + power-iteration while_loop + third-order branch)
+# is a big graph; caching makes every run after the first start fast.
+if not _os.environ.get("JAX_DISABLE_COMPILATION_CACHE"):
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/optwboundeigenval_tpu/xla"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from optwboundeigenval_tpu.ops import curvature, eigen, spectral  # noqa: F401

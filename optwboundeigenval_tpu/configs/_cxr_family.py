@@ -1,0 +1,105 @@
+"""Chest x-ray config factory.
+
+Reference recipe (params/chestxray_best_reg.py and the mu/K grid
+params/chestxray_mu*.py): DenseNet121-based heads on NIH ChestXray-14,
+W_BCEWithLogitsLoss, Adam lr=1e-5 wd=1e-5, ReduceLROnPlateau
+patience=5, ``test_func='accauc sigmoid'``, pow_iter_eps=0.1,
+max_pow_iter=100, TenCrop test evaluation, rand_init + gradg_clip=100
+in the best_reg variants; CheXpert/MIMIC as cross-dataset comp_test
+loaders.
+
+Roots default to env vars ``NIH_CXR_ROOT`` / ``CHEXPERT_ROOT`` /
+``MIMIC_CXR_ROOT`` (the reference hardcodes private paths,
+dcnn.py:25,94,150); synthetic stand-ins otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def chestxray_config(
+    mu=0.01,
+    K=0.0,
+    Kmin=0.0,
+    enc: str = "densenet121",
+    optimizer: str = "adam",
+    pow_iter: bool = True,
+    lobpcg: bool = False,
+    asymmetric_valley: bool = False,
+    batch_size: int = 4,
+    max_iter: int = 50,
+    best_reg: bool = False,
+    image_size: int = 224,
+    synthetic_n: int = 128,
+    **extra,
+):
+    from optwboundeigenval_tpu import optim
+    from optwboundeigenval_tpu.data import chestxray as cxr
+    from optwboundeigenval_tpu.models.cxr import CXRModel
+    from optwboundeigenval_tpu.optim import schedules
+
+    nih_root = os.environ.get("NIH_CXR_ROOT")
+    chexpert_root = os.environ.get("CHEXPERT_ROOT")
+    mimic_root = os.environ.get("MIMIC_CXR_ROOT")
+    # synthetic stand-ins use small images so CI stays fast
+    size = image_size if nih_root else 64
+
+    opt = {
+        "seed": 1226,
+        "tol": 0.001,
+        "mu": mu,
+        "K": K,
+        "Kmin": Kmin,
+        "batch_size": batch_size,
+        "max_iter": max_iter,
+        "header": f"chestxray_{enc}",
+        "model": CXRModel(backbone=enc, outnum=14),
+        "has_batch_stats": True,
+        "loss": "weighted_bce_with_logits",
+        "test_func": "accauc sigmoid",
+        "pow_iter": pow_iter,
+        "pow_iter_eps": 0.1,
+        "max_pow_iter": 100,
+        "ignore_bad_vals": False,
+        "lobpcg": lobpcg,
+        "asymmetric_valley": asymmetric_valley,
+        "crops": False,
+        "model_class_to_idx": cxr.NIH_CLASSES,
+        # CheXpert/MIMIC have 13-class label spaces; they are evaluated
+        # through comp_test's class intersection, not the plain test
+        # cascade (reference params set test=False and route cross-
+        # dataset loaders via comp_test/jaccard, chestxray_best_reg.py)
+        "test": False,
+        "comp_test": True,
+    }
+    if best_reg:
+        opt.update({"rand_init": True, "gradg_clip": 100.0})
+
+    common = dict(batch_size=batch_size, size=size, synthetic_n=synthetic_n)
+    opt["train_loader"] = cxr.get_nih_loader("train", root=nih_root, **common)
+    opt["valid_loader"] = cxr.get_nih_loader(
+        "validation", root=nih_root, **common
+    )
+    opt["test_loader"] = [
+        cxr.get_nih_loader("test", root=nih_root, **common),
+        cxr.get_chexpert_loader("validation", root=chexpert_root, **common),
+        cxr.get_mimic_loader("validation", root=mimic_root, **common),
+    ]
+
+    name = optimizer.lower()
+    if name == "adam":
+        opt["optimizer"] = optim.adam(1e-5, weight_decay=1e-5)
+        opt["scheduler"] = schedules.ReduceLROnPlateau(1e-5, patience=5)
+    elif name == "sgd":
+        opt["optimizer"] = optim.sgd(0.01, momentum=0.9)
+    elif name == "sam":
+        opt["optimizer"] = optim.SAM(optim.sgd(0.01), rho=0.05)
+    elif name == "entropy_sgd":
+        opt["optimizer"] = optim.EntropySGD(lr=0.01, L=5)
+    elif name == "kfac":
+        opt["optimizer"] = optim.KFAC(lr=0.001)
+    else:
+        raise ValueError(name)
+    opt.update(extra)
+    return opt

@@ -1,0 +1,8 @@
+"""Chest x-ray KFAC comparator (reference params/chestxray_best_reg_KFAC.py)."""
+
+from optwboundeigenval_tpu.configs._cxr_family import chestxray_config
+
+
+def options():
+    return chestxray_config(mu=0.0, K=0.0, optimizer="kfac",
+                            pow_iter=False, best_reg=True)

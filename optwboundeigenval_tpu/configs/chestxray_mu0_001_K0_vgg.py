@@ -1,0 +1,7 @@
+"""Chest x-ray VGG16-bn spectral reg (reference params/chestxray_mu0_001_K0_vgg.py)."""
+
+from optwboundeigenval_tpu.configs._cxr_family import chestxray_config
+
+
+def options():
+    return chestxray_config(mu=0.001, K=0.0, enc="vgg16_bn")

@@ -1,0 +1,7 @@
+"""Chest x-ray DenseNet121 recipe (reference params/chestxray_mu0_01_K100.py)."""
+
+from optwboundeigenval_tpu.configs._cxr_family import chestxray_config
+
+
+def options():
+    return chestxray_config(mu=0.01, K=100.0)

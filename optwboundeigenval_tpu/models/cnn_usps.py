@@ -14,6 +14,8 @@ Deviations (documented reference quirks, SURVEY.md §7):
 from __future__ import annotations
 
 import flax.linen as nn
+
+from optwboundeigenval_tpu.models.activations import relu
 import jax.numpy as jnp
 
 
@@ -29,9 +31,9 @@ class CNNUSPS(nn.Module):
         x = x.astype(self.dtype)
         for features in (8, 16, 32):
             x = nn.Conv(features, (3, 3), padding="SAME", dtype=self.dtype)(x)
-            x = nn.relu(x)
+            x = relu(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = x.reshape(x.shape[0], -1)  # (B, 2*2*32) = (B, 128)
-        x = nn.relu(nn.Dense(64, dtype=self.dtype)(x))
+        x = relu(nn.Dense(64, dtype=self.dtype)(x))
         x = nn.Dense(self.num_classes, dtype=self.dtype)(x)
         return x

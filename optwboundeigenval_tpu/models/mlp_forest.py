@@ -11,6 +11,8 @@ logits output (see cnn_usps.py note).
 from __future__ import annotations
 
 import flax.linen as nn
+
+from optwboundeigenval_tpu.models.activations import relu
 import jax.numpy as jnp
 
 
@@ -25,7 +27,7 @@ class ForestNet(nn.Module):
         fc1 = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")
         fc2 = nn.Dense(self.hidden, dtype=self.dtype, name="fc2")
         fc3 = nn.Dense(self.num_classes, dtype=self.dtype, name="fc3")
-        x = nn.relu(fc1(x))
-        x = nn.relu(fc2(x))
-        x = nn.relu(fc2(x))  # fc2 applied twice — reference weight tying
+        x = relu(fc1(x))
+        x = relu(fc2(x))
+        x = relu(fc2(x))  # fc2 applied twice — reference weight tying
         return fc3(x)

@@ -158,6 +158,36 @@ def run(options: Dict[str, Any]) -> SpectralTrainer:
         for tl in test_loaders:
             saliency_maps(trainer, tl, max_img=options.get("max_img", 10))
 
+    if options.get("jaccard", False) and test_loaders:
+        # model-vs-baseline saliency audit (opt.py:1364-1714); the
+        # baseline is a comparator checkpoint named by comp_fname
+        from optwboundeigenval_tpu.analysis.jaccard import jaccard_audit
+
+        baseline = options.get("baseline_trainer")
+        if baseline is None and options.get("comp_fname"):
+            baseline = build_trainer(options)
+            baseline.init_state(next(iter(test_loaders[0])))
+            fname = options["comp_fname"]
+            baseline.model_load(fname[0] if isinstance(fname, list) else fname)
+        if baseline is not None:
+            jaccard_audit(
+                trainer, baseline, test_loaders[0],
+                max_img=options.get("max_img", 25),
+                method=options.get("saliency_method", "saliency"),
+                layer_path=options.get("cam_layer"),
+            )
+
+    if options.get("jaccard_comp", False) and test_loaders:
+        from optwboundeigenval_tpu.analysis.jaccard import jaccard_comp
+
+        others = options.get("comp_trainers", [])
+        if others:
+            jaccard_comp(
+                [trainer] + list(others), test_loaders[0],
+                method=options.get("saliency_method", "saliency"),
+                layer_path=options.get("cam_layer"),
+            )
+
     return trainer
 
 

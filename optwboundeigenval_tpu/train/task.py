@@ -76,31 +76,37 @@ def kl_onehot(outputs: jax.Array, y: jax.Array, w=None) -> jax.Array:
 def weighted_bce_with_logits(
     outputs: jax.Array, y: jax.Array, w=None
 ) -> jax.Array:
-    """W_BCEWithLogitsLoss (dcnn.py:375-400): per-class positive /
-    negative re-weighting by inverse prevalence in the batch, NaN-label
-    masking (``target == target``), mean over the per-class losses.
-    TenCrop replication (dcnn.py:383-384) is handled by the caller
-    reshaping crops into the batch dimension."""
+    """W_BCEWithLogitsLoss (dcnn.py:375-400): *global* positive/negative
+    re-weighting — ``p`` = total positives and ``s`` = total valid
+    labels over the whole batch across all classes, positives weighted
+    ``s/p`` and negatives ``s/(s-p)`` (dcnn.py:390-398; if p is 0 or s,
+    weights fall back to 2 for positives / 1 for negatives).  Per-class
+    BCE means over non-NaN labels, then mean over classes that had any
+    valid labels.  TenCrop target replication (dcnn.py:383-384) is
+    handled by the caller reshaping crops into the batch dimension.
+
+    Padded rows (``w == 0``) are excluded from the weights and means so
+    static-shape padding stays exact."""
     valid = ~jnp.isnan(y)
+    if w is not None:
+        valid = valid & (w[:, None] > 0)
     y0 = jnp.where(valid, y, 0.0)
-    # per-class positive/negative counts over valid labels
-    pos = jnp.sum(jnp.where(valid, y0, 0.0), axis=0)
-    cnt = jnp.sum(valid, axis=0)
-    neg = cnt - pos
-    total = jnp.maximum(pos + neg, 1.0)
-    beta_p = jnp.where(pos > 0, total / jnp.maximum(pos, 1.0), 1.0)
-    beta_n = jnp.where(neg > 0, total / jnp.maximum(neg, 1.0), 1.0)
+    p = jnp.sum(y0)
+    s = jnp.sum(valid).astype(outputs.dtype)
+    degenerate = (p == 0) | (p == s)
+    w_pos = jnp.where(degenerate, 2.0, s / jnp.where(p == 0, 1.0, p))
+    w_neg = jnp.where(degenerate, 1.0, s / jnp.where(s - p == 0, 1.0, s - p))
+    weight = jnp.where(y0 > 0, w_pos, w_neg)
     log_sig = jax.nn.log_sigmoid(outputs)
     log_1m = jax.nn.log_sigmoid(-outputs)
-    elt = -(beta_p * y0 * log_sig + beta_n * (1.0 - y0) * log_1m)
+    elt = -weight * (y0 * log_sig + (1.0 - y0) * log_1m)
     elt = jnp.where(valid, elt, 0.0)
-    if w is not None:
-        elt = elt * w[:, None]
-        denom = jnp.maximum(jnp.sum(valid * w[:, None], axis=0), 1.0)
-    else:
-        denom = jnp.maximum(cnt, 1.0)
-    per_class = jnp.sum(elt, axis=0) / denom
-    return jnp.mean(per_class)
+    cnt = jnp.sum(valid, axis=0)
+    per_class = jnp.sum(elt, axis=0) / jnp.maximum(cnt, 1)
+    has_any = cnt > 0
+    return jnp.sum(jnp.where(has_any, per_class, 0.0)) / jnp.maximum(
+        jnp.sum(has_any), 1
+    )
 
 
 losses: Dict[str, Callable] = {
@@ -125,9 +131,15 @@ class Task:
 
     # ---- initialization ------------------------------------------------
     def init(self, rng, example_x):
-        variables = self.model.init(
-            {"params": rng, "dropout": rng}, example_x, train=False
+        # jitted: eager init dispatches each op individually, which is
+        # pathological over a tunneled TPU (tens of ms per op x ~1e3 ops
+        # for a DenseNet121)
+        init_fn = jax.jit(
+            lambda r, x: self.model.init(
+                {"params": r, "dropout": r}, x, train=False
+            )
         )
+        variables = init_fn(rng, example_x)
         params = variables["params"]
         model_state = {k: v for k, v in variables.items() if k != "params"}
         return params, model_state

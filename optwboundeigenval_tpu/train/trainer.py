@@ -171,7 +171,9 @@ class SpectralTrainer:
         self.params, self.model_state = self.task.init(
             init_rng, jnp.asarray(example_batch["x"])
         )
-        self.opt_state = self.optimizer.init(self.params)
+        # jitted: optimizer init builds large zero-trees; eager per-leaf
+        # dispatch is slow over a tunneled device
+        self.opt_state = jax.jit(self.optimizer.init)(self.params)
         # model-shape-dependent optimizer state (K-FAC factor buffers,
         # reference builds these at hook registration, kfac.py:67-79)
         if hasattr(self.optimizer, "build_extra_state"):
@@ -181,7 +183,7 @@ class SpectralTrainer:
                 self.opt_state, self.task, self.params, self.model_state,
                 batch, extra_rng,
             )
-        self.v = tree_uniform_like(self.params)
+        self.v = jax.jit(tree_uniform_like)(self.params)
         if self.mesh is not None:
             self.params = meshlib.replicate(self.params, self.mesh)
             self.model_state = meshlib.replicate(self.model_state, self.mesh)
@@ -561,7 +563,12 @@ class SpectralTrainer:
 
         if loader is None:
             loader = _as_loader((x, y), self.batch_size)
-        eval_step = self._get("eval_step", self._build_eval_step)
+        predict_step = self._get(
+            "predict_step",
+            lambda: jax.jit(
+                lambda p, ms, b: self.task.predict(p, ms, b)
+            ),
+        )
 
         if other_classes is not None and isinstance(other_classes, int):
             other_classes = [other_classes]
@@ -581,26 +588,33 @@ class SpectralTrainer:
                 bc, nc = xb.shape[0], xb.shape[1]
                 flat = {"x": xb.reshape((-1,) + xb.shape[2:]), "y": batch["y"],
                         "w": batch["w"]}
-                out = self.task.predict(self.params, self.model_state, flat)
-                ops = out.reshape(bc, nc, -1).mean(axis=1)
-                lf = self.task.loss(ops, batch["y"], batch.get("w"))
-                f = float(lf)
+                ops = predict_step(
+                    self.params, self.model_state, flat
+                ).reshape(bc, nc, -1).mean(axis=1)
             else:
-                lf, ops = eval_step(self.params, self.model_state, batch)
-                f = float(lf)
+                ops = predict_step(self.params, self.model_state, batch)
 
             ops = np.asarray(ops)[:nreal]
             target = np.asarray(data["y"])[:nreal]
-            f_list.append(f)
             sizes.append(nreal)
 
             if other_classes is not None and classes is not None:
                 rest = [i for i in range(target.shape[1]) if i not in classes]
                 oc.extend(np.nansum(target[:, rest], axis=1))
 
+            # class subsetting happens BEFORE the loss, matching
+            # reference comp_f (opt.py:558-563): cross-dataset
+            # evaluation restricts both output and target columns
             if classes is not None and target.ndim > 1:
                 target = target[:, classes]
                 ops = ops[:, model_classes if model_classes is not None else classes]
+            f_list.append(
+                float(
+                    self.task.loss(
+                        jnp.asarray(ops), jnp.asarray(target), None
+                    )
+                )
+            )
 
             if any(t in self.test_func for t in ("sigmoid", "logit")):
                 ops = 1.0 / (1.0 + np.exp(-ops))

@@ -12,6 +12,10 @@ import os
 # registered, so JAX_PLATFORMS is already latched by the time conftest
 # runs — the platform override must go through jax.config.  XLA_FLAGS
 # is still read lazily at first backend initialization.
+# keep the persistent XLA cache out of CPU test runs (it exists to
+# amortize tunneled-TPU compiles; on CPU it only adds AOT-reload noise)
+os.environ.setdefault("JAX_DISABLE_COMPILATION_CACHE", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -146,8 +146,8 @@ def test_lobpcg_preconditioned_training(tmp_path):
 
 
 def test_kfac_on_conv_model(tmp_path):
-    x, y = make_images(96, shape=(16, 16, 1), n_classes=10, seed=0)
-    loader = ArrayLoader(x, y, batch_size=32, shuffle=True, seed=1)
+    x, y = make_images(32, shape=(16, 16, 1), n_classes=10, seed=0)
+    loader = ArrayLoader(x, y, batch_size=16, shuffle=True, seed=1)
     task = Task(model=CNNUSPS())
     tr = SpectralTrainer(
         task,
