@@ -98,6 +98,54 @@ class ArrayLoader:
         return {"x": xb, "y": yb, "w": w}
 
 
+class PrefetchLoader:
+    """Background-thread batch prefetcher.
+
+    The reference overlaps host data work with compute via torch
+    DataLoader worker processes (num_workers, opt.py:306); here a
+    daemon thread keeps a small queue of ready batches ahead of the
+    device.  Augmentation work runs in the C++ kernels
+    (native/augment.cpp) which release the GIL for the bulk of their
+    time inside ctypes, so the overlap is real even single-process."""
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+        self.batch_size = getattr(loader, "batch_size", None)
+
+    def __len__(self):
+        return len(self.loader)
+
+    @property
+    def num_examples(self):
+        return self.loader.num_examples
+
+    def random_batch(self, rng=None):
+        return self.loader.random_batch(rng)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+
 def train_valid_split(
     n: int, valid_fraction: float, seed: int = 1226
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -26,7 +26,11 @@ def _to_host(tree):
 
 def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    data = serialization.msgpack_serialize(_to_host(payload))
+    # to_state_dict converts NamedTuple optimizer states and other
+    # structured nodes into plain dicts msgpack can serialize
+    data = serialization.msgpack_serialize(
+        _to_host(serialization.to_state_dict(payload))
+    )
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)

@@ -160,6 +160,9 @@ class SpectralTrainer:
         self._precond_state = None
         self._kfac_iter = kfac_batch
         self._compiled: Dict[str, Any] = {}
+        from optwboundeigenval_tpu.utils.timing import Timers
+
+        self.timers = Timers()
 
     # ------------------------------------------------------------------
     # initialization
@@ -388,35 +391,56 @@ class SpectralTrainer:
         rdata = None
         vlog: List[str] = []
 
+        import time as _time
+
+        istart = _time.perf_counter()
         for j, data in enumerate(train_loader):
             if j == rbatch:
                 rdata = data
             batch = self._put_batch(data)
             self.rng, step_rng = jax.random.split(self.rng)
             self._refresh_precond(batch, step_rng)
-            (
-                self.params,
-                self.model_state,
-                self.opt_state,
-                self.v,
-                metrics,
-            ) = train_step(
-                self.params,
-                self.model_state,
-                self.opt_state,
-                self.v,
-                batch,
-                jnp.asarray(mu, jnp.float32),
-                step_rng,
-                self._precond_state,
-            )
+            with self.timers("G"):
+                (
+                    new_params,
+                    new_model_state,
+                    new_opt_state,
+                    new_v,
+                    metrics,
+                ) = train_step(
+                    self.params,
+                    self.model_state,
+                    self.opt_state,
+                    self.v,
+                    batch,
+                    jnp.asarray(mu, jnp.float32),
+                    step_rng,
+                    self._precond_state,
+                )
+                gradf_norm = float(metrics["gradf_norm"])
+            # NaN rollback: the reference reloads the last epoch
+            # checkpoint when the optimizer step blows up or KFAC emits
+            # NaNs (opt.py:696-708).  A non-finite gradient norm means
+            # the step would poison the params — skip it, and reload the
+            # last checkpoint if one exists.
+            if not np.isfinite(gradf_norm):
+                ckpt = os.path.join(
+                    self.model_dir, self.header2 + "_trained_model.msgpack"
+                )
+                if os.path.exists(ckpt):
+                    self.model_load(ckpt)
+                continue
+            self.params = new_params
+            self.model_state = new_model_state
+            self.opt_state = new_opt_state
+            self.v = new_v
             self.rho = float(metrics["rho"])
             self.norm = float(metrics["norm"])
             self.g = float(metrics["g"])
             if self.verbose:
                 vlog.append(
                     f"{j}\t {self.rho:f}\t {self.norm:f}\t "
-                    f"{float(metrics['gradf_norm']):f}\t "
+                    f"{gradf_norm:f}\t "
                     f"{float(metrics['gradg_norm']):f}"
                 )
 
@@ -430,12 +454,13 @@ class SpectralTrainer:
         # epoch-end: weighted-mean f over all batches in eval mode
         # (opt.py:730-739), g on one random batch (opt.py:740)
         f_sum, w_sum = 0.0, 0.0
-        for data in train_loader:
-            batch = self._put_batch(data)
-            loss, _ = eval_step(self.params, self.model_state, batch)
-            bw = float(np.sum(data["w"]))
-            f_sum += float(loss) * bw
-            w_sum += bw
+        with self.timers("Test"):
+            for data in train_loader:
+                batch = self._put_batch(data)
+                loss, _ = eval_step(self.params, self.model_state, batch)
+                bw = float(np.sum(data["w"]))
+                f_sum += float(loss) * bw
+                w_sum += bw
         self.f = f_sum / max(w_sum, 1.0)
 
         if self.pow_iter and rdata is not None:
@@ -457,6 +482,16 @@ class SpectralTrainer:
         if self.scheduler is not None:
             lr = self.scheduler.step(self.f)
             self.opt_state = self.optimizer.set_learning_rate(self.opt_state, lr)
+
+        # per-epoch stage timing readout in timeHMS format
+        # (opt.py:745-757) appended to the verbose log
+        self.timers.totals["Iteration"] = (
+            self.timers.totals.get("Iteration", 0.0)
+            + (_time.perf_counter() - istart)
+        )
+        if self.verbose:
+            with open(self.verbose_log_file, "a") as fh:
+                fh.write(self.timers.report(["G", "Test", "Iteration"]) + "\n")
 
     # ------------------------------------------------------------------
     # full training (reference train(), opt.py:771-871)
@@ -738,6 +773,45 @@ class SpectralTrainer:
         checkpoints.save_checkpoint(
             os.path.join(self.model_dir, self.header2 + tail), payload
         )
+
+    def save_full(self, tail: str = "_full.msgpack"):
+        """Full-state checkpoint for exact resume: params + BN stats +
+        optimizer state + warm-started eigenvector + rng + epoch.  The
+        reference never checkpoints optimizer state (SURVEY.md §5) —
+        this is the TPU-era upgrade."""
+        payload = {
+            "params": self.params,
+            "model_state": self.model_state,
+            "opt_state": self.opt_state,
+            "v": self.v,
+            "rng": self.rng,
+            "epoch": np.asarray(self.i),
+        }
+        checkpoints.save_checkpoint(
+            os.path.join(self.model_dir, self.header2 + tail), payload
+        )
+
+    def resume(self, fname: Optional[str] = None):
+        """Restore a save_full checkpoint (requires init_state first so
+        the pytree templates exist)."""
+        if fname is None:
+            fname = os.path.join(self.model_dir, self.header2 + "_full.msgpack")
+        payload = checkpoints.load_checkpoint(fname)
+        self.params = checkpoints.restore_like(self.params, payload["params"])
+        self.model_state = checkpoints.restore_like(
+            self.model_state, payload["model_state"]
+        )
+        self.opt_state = checkpoints.restore_like(
+            self.opt_state, payload["opt_state"]
+        )
+        self.v = checkpoints.restore_like(self.v, payload["v"])
+        self.rng = jnp.asarray(payload["rng"])
+        self.i = int(payload["epoch"])
+        if self.mesh is not None:
+            self.params = meshlib.replicate(self.params, self.mesh)
+            self.model_state = meshlib.replicate(self.model_state, self.mesh)
+            self.opt_state = meshlib.replicate(self.opt_state, self.mesh)
+            self.v = meshlib.replicate(self.v, self.mesh)
 
     def model_load(self, fname: Optional[str] = None):
         if fname is None:

@@ -1,0 +1,100 @@
+"""Auxiliary-subsystem tests (SURVEY.md §5): timing readouts, NaN
+rollback, full-state checkpoint/resume, golden-run regression."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optwboundeigenval_tpu.data.loaders import ArrayLoader
+from optwboundeigenval_tpu.data.synthetic import make_classification
+from optwboundeigenval_tpu.models import ForestNet
+from optwboundeigenval_tpu.optim import sgd
+from optwboundeigenval_tpu.train import SpectralTrainer, Task
+from optwboundeigenval_tpu.utils.timing import Timers, time_hms
+
+
+def test_time_hms_format():
+    s = time_hms(3723.5, "Iteration ")
+    assert s == "Iteration Time elapsed:  1 hrs,  2 min, 3.50 sec"
+
+
+def test_timers_accumulate():
+    t = Timers()
+    with t("a"):
+        pass
+    with t("a"):
+        pass
+    assert t.totals["a"] >= 0
+    assert "a Time elapsed" in t.report()
+
+
+def _trainer(tmp_path, **kw):
+    x, y = make_classification(128, 8, 3, seed=0)
+    loader = ArrayLoader(x, y, 32, shuffle=True, seed=1)
+    defaults = dict(
+        mu=0.01, K=1.0, batch_size=32, max_iter=2, min_iter=1,
+        max_pow_iter=15, pow_iter_eps=1e-2, header="AUX",
+        log_dir=str(tmp_path / "logs"), model_dir=str(tmp_path / "models"),
+    )
+    defaults.update(kw)
+    tr = SpectralTrainer(Task(model=ForestNet(hidden=8, num_classes=3)),
+                         sgd(0.1), **defaults)
+    return tr, loader
+
+
+def test_verbose_log_includes_timing(tmp_path):
+    tr, loader = _trainer(tmp_path, verbose=True)
+    tr.train(train_loader=loader)
+    content = open(tr.verbose_log_file).read()
+    assert "batch\t rho\t norm\t gradf\t gradg" in content
+    assert "G Time elapsed" in content
+    assert "Iteration Time elapsed" in content
+
+
+def test_nan_rollback_skips_poisoned_step(tmp_path):
+    """A batch that produces non-finite gradients must not poison the
+    parameters (reference rollback, opt.py:696-708)."""
+    x, y = make_classification(96, 8, 3, seed=0)
+    x[32:64] = np.nan  # one poisoned batch
+    loader = ArrayLoader(x, y, 32, shuffle=False)
+    tr, _ = _trainer(tmp_path, header="NAN", max_iter=1)
+    tr.train(train_loader=loader)
+    flat = np.concatenate(
+        [np.ravel(p) for p in jax.tree_util.tree_leaves(tr.params)]
+    )
+    assert np.all(np.isfinite(flat))
+
+
+def test_full_checkpoint_resume(tmp_path):
+    tr, loader = _trainer(tmp_path, header="RES")
+    tr.train(train_loader=loader)
+    tr.save_full()
+    f_ref = tr.f
+
+    tr2, _ = _trainer(tmp_path, header="RES")
+    tr2.init_state(next(iter(loader)))
+    tr2.resume()
+    assert tr2.i == tr.i
+    # identical params -> identical eval loss
+    l1 = tr.test_model(loader=loader)[0]
+    l2 = tr2.test_model(loader=loader)[0]
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
+    # optimizer state restored (momentum-free sgd has inner state trees)
+    chex_leaves = jax.tree_util.tree_leaves(tr2.opt_state)
+    assert len(chex_leaves) == len(jax.tree_util.tree_leaves(tr.opt_state))
+
+
+def test_golden_run_regression(tmp_path):
+    """Deterministic seeds give a reproducible (f, rho) trajectory —
+    the golden-run tier of SURVEY.md §4d.  Guards against silent
+    numerical drift in the fused train step."""
+    results = []
+    for _ in range(2):
+        tr, loader = _trainer(tmp_path, header="GOLD", max_iter=2)
+        loader._rng = np.random.default_rng(1)  # reset loader shuffling
+        tr.train(train_loader=loader)
+        results.append((tr.f, tr.rho))
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-5)
+    np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-4)
