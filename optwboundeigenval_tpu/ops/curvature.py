@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import Any, Callable, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from optwboundeigenval_tpu.utils.tree import tree_vdot
 
@@ -86,6 +87,110 @@ def vghv(loss_fn: LossFn, params, batch, v):
         return tree_vdot(hv, v)
 
     return jax.grad(rayleigh_num)(params)
+
+
+def _micro_slices(batch, num_micro: int):
+    lead = jax.tree_util.tree_leaves(batch)[0].shape[0]
+    assert lead % num_micro == 0, (lead, num_micro)
+    mb = lead // num_micro
+
+    def slice_i(i):
+        return jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, i * mb, mb, 0), batch
+        )
+
+    return slice_i, mb
+
+
+def hvp_microbatched(
+    loss_fn: LossFn, params, batch, v, num_micro: int, *, use_pallas: bool = True
+):
+    """Hessian-vector product accumulated over micro-batches.
+
+    The linearization of a large model at full batch size holds O(B)
+    activations; splitting the batch into ``num_micro`` chunks bounds
+    memory at O(B / num_micro) while the accumulated product is exact
+    for weighted-mean losses: each micro-loss is re-weighted by
+    ``sum(w_micro) / sum(w_total)`` so that micro-HVPs sum to the
+    full-batch HVP.  (Losses that are not weighted means over examples
+    — e.g. the per-class-normalized W-BCE — decompose only
+    approximately.)
+
+    The running accumulation is a fused Pallas axpy per leaf
+    (ops/pallas_kernels.axpy_accumulate) when ``use_pallas``; the whole
+    loop is a ``lax.scan`` so one micro-batch graph is compiled.
+
+    This realizes the micro-batched HVP solver design (SURVEY.md §7 /
+    BASELINE.json north star); the reference caps memory by capping the
+    batch itself (``max_samples``, opt.py:276 — stored but unused).
+    """
+    from optwboundeigenval_tpu.ops import pallas_kernels
+    from optwboundeigenval_tpu.utils.tree import tree_zeros_like
+
+    slice_i, _ = _micro_slices(batch, num_micro)
+    w_total = (
+        jnp.sum(batch["w"]) if "w" in batch
+        else jnp.asarray(
+            jax.tree_util.tree_leaves(batch)[0].shape[0], jnp.float32
+        )
+    )
+
+    def body(acc, i):
+        mbatch = slice_i(i)
+        w_m = (
+            jnp.sum(mbatch["w"]) if "w" in mbatch
+            else jnp.asarray(
+                jax.tree_util.tree_leaves(mbatch)[0].shape[0], jnp.float32
+            )
+        )
+        scale = w_m / jnp.maximum(w_total, 1e-12)
+
+        g = lambda p: jax.grad(loss_fn)(p, mbatch)
+        hv_m = jax.jvp(g, (params,), (v,))[1]
+        if use_pallas:
+            acc = jax.tree.map(
+                lambda a, d: pallas_kernels.axpy_accumulate(a, d, scale),
+                acc,
+                hv_m,
+            )
+        else:
+            acc = jax.tree.map(lambda a, d: a + scale * d, acc, hv_m)
+        return acc, None
+
+    acc0 = tree_zeros_like(v)
+    acc, _ = jax.lax.scan(body, acc0, jnp.arange(num_micro))
+    return acc
+
+
+def grad_microbatched(loss_fn: LossFn, params, batch, num_micro: int):
+    """Gradient accumulated over micro-batches (same exactness
+    conditions as :func:`hvp_microbatched`)."""
+    from optwboundeigenval_tpu.utils.tree import tree_zeros_like
+
+    slice_i, _ = _micro_slices(batch, num_micro)
+    w_total = (
+        jnp.sum(batch["w"]) if "w" in batch
+        else jnp.asarray(
+            jax.tree_util.tree_leaves(batch)[0].shape[0], jnp.float32
+        )
+    )
+
+    def body(acc, i):
+        mbatch = slice_i(i)
+        w_m = (
+            jnp.sum(mbatch["w"]) if "w" in mbatch
+            else jnp.asarray(
+                jax.tree_util.tree_leaves(mbatch)[0].shape[0], jnp.float32
+            )
+        )
+        scale = w_m / jnp.maximum(w_total, 1e-12)
+        g = jax.grad(loss_fn)(params, mbatch)
+        return jax.tree.map(lambda a, d: a + scale * d, acc, g), None
+
+    acc, _ = jax.lax.scan(
+        body, tree_zeros_like(params), jnp.arange(num_micro)
+    )
+    return acc
 
 
 def loss_grad_hvp_vghv(loss_fn: LossFn, params, batch, v):

@@ -1,0 +1,130 @@
+"""Pallas kernels + micro-batched HVP tests (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optwboundeigenval_tpu.ops import curvature, eigen, pallas_kernels as pk
+from optwboundeigenval_tpu.utils.tree import tree_ravel, tree_uniform_like
+
+
+def test_axpy_accumulate_matches_numpy():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(1000,)).astype(np.float32)
+    d = rng.normal(size=(1000,)).astype(np.float32)
+    out = np.asarray(pk.axpy_accumulate(jnp.asarray(a), jnp.asarray(d), 0.3))
+    np.testing.assert_allclose(out, a + 0.3 * d, rtol=1e-5, atol=1e-6)
+    # non-flat shapes
+    a2 = rng.normal(size=(7, 13)).astype(np.float32)
+    d2 = rng.normal(size=(7, 13)).astype(np.float32)
+    out2 = np.asarray(pk.axpy_accumulate(jnp.asarray(a2), jnp.asarray(d2)))
+    np.testing.assert_allclose(out2, a2 + d2, rtol=1e-6)
+
+
+def test_fused_epilogue_sums_match_dense():
+    rng = np.random.default_rng(1)
+    n = 3000  # crosses a block boundary after padding
+    hv = rng.normal(size=n).astype(np.float32)
+    v = rng.normal(size=n).astype(np.float32)
+    ro = rng.normal(size=n).astype(np.float32)
+    sums = np.asarray(
+        pk.fused_epilogue_sums(jnp.asarray(hv), jnp.asarray(v), jnp.asarray(ro))
+    )
+    expect = [hv @ v, hv @ hv, v @ v, hv @ ro, v @ ro, ro @ ro]
+    np.testing.assert_allclose(sums[:6], expect, rtol=1e-4)
+
+
+def test_epilogue_scalars_match_reference_math():
+    rng = np.random.default_rng(2)
+    n = 512
+    hv = rng.normal(size=n).astype(np.float32)
+    v = rng.normal(size=n).astype(np.float32)
+    v = v / np.linalg.norm(v)
+    ro = rng.normal(size=n).astype(np.float32)
+    sums = pk.fused_epilogue_sums(jnp.asarray(hv), jnp.asarray(v),
+                                  jnp.asarray(ro))
+    sc = pk.epilogue_scalars(sums)
+    # reference math (opt.py:455-463)
+    lam_raw = hv @ v
+    s = -1.0 if lam_raw < 0 else 1.0
+    lam = abs(lam_raw)
+    r = s * hv - lam * v
+    np.testing.assert_allclose(float(sc["lam"]), lam, rtol=1e-4)
+    np.testing.assert_allclose(float(sc["n"]), np.linalg.norm(r), rtol=1e-3)
+    rn = min(np.linalg.norm(r - ro), np.linalg.norm(r + ro))
+    np.testing.assert_allclose(float(sc["rn"]), rn, rtol=1e-3)
+
+
+def test_power_iteration_fused_matches_pytree_version():
+    rng = np.random.default_rng(3)
+    Q, _ = np.linalg.qr(rng.normal(size=(64, 64)))
+    eigs = np.concatenate([[4.0], np.linspace(0.1, 1.5, 63)])
+    A = jnp.asarray((Q @ np.diag(eigs) @ Q.T).astype(np.float32))
+    v0 = jnp.full((64,), 1.0 / 8.0, jnp.float32)
+
+    ref = eigen.power_iteration(
+        lambda t: {"x": A @ t["x"]}, {"x": v0}, eps=1e-5, max_iter=500
+    )
+    fused = eigen.power_iteration_fused(
+        lambda v: A @ v, v0, eps=1e-5, max_iter=500
+    )
+    assert bool(fused.converged)
+    np.testing.assert_allclose(float(fused.rho), float(ref.rho), rtol=1e-3)
+    np.testing.assert_allclose(float(fused.rho), 4.0, rtol=1e-3)
+
+
+def test_hvp_microbatched_exact():
+    """Micro-batched accumulation equals the full-batch HVP for
+    weighted-mean losses, including padded zero-weight rows."""
+
+    def loss(params, batch):
+        x, y, w = batch["x"], batch["y"], batch["w"]
+        h = jnp.tanh(x @ params["w1"])
+        out = h @ params["w2"]
+        per = jnp.mean((out - y) ** 2, axis=1)
+        return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-12)
+
+    key = jax.random.PRNGKey(0)
+    params = {
+        "w1": jax.random.normal(key, (6, 5)) * 0.5,
+        "w2": jax.random.normal(jax.random.fold_in(key, 1), (5, 3)) * 0.5,
+    }
+    w = jnp.concatenate([jnp.ones(12), jnp.zeros(4)])  # padded rows
+    batch = {
+        "x": jax.random.normal(jax.random.fold_in(key, 2), (16, 6)),
+        "y": jax.random.normal(jax.random.fold_in(key, 3), (16, 3)),
+        "w": w,
+    }
+    v = tree_uniform_like(params)
+    full = curvature.hvp(loss, params, batch, v)
+    for num_micro in (2, 4):
+        for use_pallas in (True, False):
+            micro = curvature.hvp_microbatched(
+                loss, params, batch, v, num_micro, use_pallas=use_pallas
+            )
+            a, _ = tree_ravel(full)
+            b, _ = tree_ravel(micro)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+            )
+
+
+def test_grad_microbatched_exact():
+    def loss(params, batch):
+        x, y, w = batch["x"], batch["y"], batch["w"]
+        out = x @ params["w1"]
+        per = jnp.mean((out - y) ** 2, axis=1)
+        return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-12)
+
+    key = jax.random.PRNGKey(1)
+    params = {"w1": jax.random.normal(key, (4, 3))}
+    batch = {
+        "x": jax.random.normal(jax.random.fold_in(key, 1), (8, 4)),
+        "y": jax.random.normal(jax.random.fold_in(key, 2), (8, 3)),
+        "w": jnp.ones(8),
+    }
+    full = jax.grad(loss)(params, batch)
+    micro = curvature.grad_microbatched(loss, params, batch, 4)
+    a, _ = tree_ravel(full)
+    b, _ = tree_ravel(micro)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
