@@ -103,7 +103,9 @@ def _reduce_kernel(hv_ref, v_ref, rold_ref, sums_ref):
 
     @pl.when(i == 0)
     def _():
-        sums_ref[0, :] = jnp.zeros((8,), jnp.float32)
+        # SMEM only accepts scalar stores on TPU
+        for k in range(8):
+            sums_ref[0, k] = jnp.float32(0.0)
 
     hv = hv_ref[:]
     v = v_ref[:]
