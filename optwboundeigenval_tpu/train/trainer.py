@@ -90,6 +90,7 @@ class SpectralTrainer:
         kfac_batch: int = 1,
         mesh=None,
         seed: int = 1226,
+        mem_track: bool = False,
         log_dir: str = "./logs",
         model_dir: str = "./models",
     ):
@@ -163,6 +164,23 @@ class SpectralTrainer:
         from optwboundeigenval_tpu.utils.timing import Timers
 
         self.timers = Timers()
+        self.mem_track = mem_track
+        self.mem_max = 0  # running max device memory (opt.py:318-322)
+
+    def mem_check(self):
+        """Running max of device memory in use — the TPU equivalent of
+        torch.cuda.memory_allocated tracking (opt.py:318-322)."""
+        if not self.mem_track:
+            return self.mem_max
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            used = int(stats.get("bytes_in_use", 0))
+        except Exception:
+            used = 0
+        if used > self.mem_max:
+            self.mem_max = used
+            print(f"Running Max device memory used (in bytes): {used}")
+        return self.mem_max
 
     # ------------------------------------------------------------------
     # initialization
@@ -437,6 +455,7 @@ class SpectralTrainer:
             self.rho = float(metrics["rho"])
             self.norm = float(metrics["norm"])
             self.g = float(metrics["g"])
+            self.mem_check()
             if self.verbose:
                 vlog.append(
                     f"{j}\t {self.rho:f}\t {self.norm:f}\t "
