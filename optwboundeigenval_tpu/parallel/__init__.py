@@ -4,3 +4,7 @@ from optwboundeigenval_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     batch_sharding,
 )
+from optwboundeigenval_tpu.parallel.sharding import (  # noqa: F401
+    infer_param_specs,
+    shard_params,
+)

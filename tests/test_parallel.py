@@ -74,6 +74,42 @@ def test_sharded_eigensolve_matches_single_device(eight_devices):
     np.testing.assert_allclose(float(r1.rho), float(r2.rho), rtol=1e-4)
 
 
+def test_tensor_parallel_params_same_eigensolve(eight_devices):
+    """Sharding large kernels over the 'model' axis must not change
+    the eigensolve result (XLA inserts the collectives)."""
+    from optwboundeigenval_tpu.parallel import shard_params
+    from optwboundeigenval_tpu.parallel.sharding import infer_param_specs
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(data=4, model=2)
+    task = Task(model=ForestNet(hidden=16, num_classes=4))
+    x, y = make_classification(64, 10, 4, seed=4)
+    batch = {"x": jnp.asarray(x), "y": jnp.asarray(y),
+             "w": jnp.ones(64, jnp.float32)}
+    params, _ = task.init(jax.random.PRNGKey(0), batch["x"])
+
+    specs = infer_param_specs(params, mesh, min_elems=64)
+    spec_leaves = jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda s: isinstance(s, P)
+    )
+    assert any(s == P(None, "model") for s in spec_leaves)  # something shards
+
+    def loss_fn(p, b):
+        out = task.model.apply({"params": p}, b["x"], train=True)
+        return task.loss(out, b["y"], b["w"])
+
+    def solve(p, b):
+        _, hvp_fn = curvature.linearize_hvp(loss_fn, p, b)
+        return eigen.estimate_dominant_eig(
+            hvp_fn, tree_uniform_like(p), eps=1e-6, max_iter=500
+        )
+
+    r_rep = jax.jit(solve)(params, batch)
+    p_tp = shard_params(params, mesh, min_elems=64)
+    r_tp = jax.jit(solve)(p_tp, shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(r_rep.rho), float(r_tp.rho), rtol=1e-4)
+
+
 def test_trainer_with_mesh(tmp_path, eight_devices):
     mesh = make_mesh()
     task = Task(model=ForestNet(hidden=8, num_classes=4))
