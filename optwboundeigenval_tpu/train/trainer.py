@@ -91,6 +91,8 @@ class SpectralTrainer:
         mesh=None,
         seed: int = 1226,
         mem_track: bool = False,
+        remat: bool = False,
+        hvp_micro: int = 0,
         log_dir: str = "./logs",
         model_dir: str = "./models",
     ):
@@ -166,6 +168,12 @@ class SpectralTrainer:
         self.timers = Timers()
         self.mem_track = mem_track
         self.mem_max = 0  # running max device memory (opt.py:318-322)
+        # memory knobs for large models: remat wraps the loss in
+        # jax.checkpoint (recompute activations in the backward/JVP
+        # passes instead of storing them); hvp_micro > 1 accumulates
+        # HVPs/grads over micro-batches (ops/curvature.hvp_microbatched)
+        self.remat = remat
+        self.hvp_micro = int(hvp_micro)
 
     def mem_check(self):
         """Running max of device memory in use — the TPU equivalent of
@@ -244,6 +252,8 @@ class SpectralTrainer:
                 out = task.model.apply(variables, batch["x"], train=True, rngs=rngs)
             return task.loss(out, batch["y"], batch.get("w"))
 
+        if self.remat:
+            loss_fn = jax.checkpoint(loss_fn)
         return loss_fn
 
     def _build_train_step(self):
@@ -255,7 +265,20 @@ class SpectralTrainer:
             rng_step, rng_opt = jax.random.split(rng)
             loss_fn = self._loss_fn(model_state, rng_step)
 
-            grads_f, hvp_fn = curvature.linearize_hvp(loss_fn, params, batch)
+            if self.hvp_micro > 1:
+                # memory-bounded path: O(B/micro) activations per pass;
+                # every power-iteration step recomputes the micro
+                # forward/backwards (no cached linearization)
+                grads_f = curvature.grad_microbatched(
+                    loss_fn, params, batch, self.hvp_micro
+                )
+                hvp_fn = lambda u: curvature.hvp_microbatched(
+                    loss_fn, params, batch, u, self.hvp_micro
+                )
+            else:
+                grads_f, hvp_fn = curvature.linearize_hvp(
+                    loss_fn, params, batch
+                )
 
             if pow_iter:
                 v0 = tree_uniform_like(params) if self.rand_init else v

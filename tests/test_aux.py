@@ -86,6 +86,27 @@ def test_full_checkpoint_resume(tmp_path):
     assert len(chex_leaves) == len(jax.tree_util.tree_leaves(tr.opt_state))
 
 
+def test_remat_and_micro_hvp_match_default(tmp_path):
+    """remat=True and hvp_micro>1 change memory behavior, not math:
+    the first-epoch trajectory must match the default path."""
+    runs = {}
+    for name, kw in (
+        ("default", {}),
+        ("remat", {"remat": True}),
+        ("micro", {"hvp_micro": 2}),
+    ):
+        tr, loader = _trainer(tmp_path, header=f"MEM{name}", max_iter=1)
+        loader._rng = np.random.default_rng(3)
+        tr.train(train_loader=loader)
+        runs[name] = (tr.f, tr.rho)
+    np.testing.assert_allclose(runs["default"][0], runs["remat"][0],
+                               rtol=1e-5)
+    np.testing.assert_allclose(runs["default"][0], runs["micro"][0],
+                               rtol=1e-4)
+    np.testing.assert_allclose(runs["default"][1], runs["micro"][1],
+                               rtol=1e-3)
+
+
 def test_golden_run_regression(tmp_path):
     """Deterministic seeds give a reproducible (f, rho) trajectory —
     the golden-run tier of SURVEY.md §4d.  Guards against silent
