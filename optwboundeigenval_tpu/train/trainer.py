@@ -458,6 +458,10 @@ class SpectralTrainer:
                     step_rng,
                     self._precond_state,
                 )
+                # ONE device->host transfer for all per-batch metrics
+                # (scalar-by-scalar float() costs a tunnel round trip
+                # each on the remote TPU)
+                metrics = jax.device_get(metrics)
                 gradf_norm = float(metrics["gradf_norm"])
             # NaN rollback: the reference reloads the last epoch
             # checkpoint when the optimizer step blows up or KFAC emits
@@ -494,16 +498,17 @@ class SpectralTrainer:
                 fh.write("\n".join(vlog) + "\n")
 
         # epoch-end: weighted-mean f over all batches in eval mode
-        # (opt.py:730-739), g on one random batch (opt.py:740)
-        f_sum, w_sum = 0.0, 0.0
+        # (opt.py:730-739), g on one random batch (opt.py:740).
+        # Accumulate on device; one host transfer per epoch.
+        f_sum, w_sum = jnp.zeros(()), 0.0
         with self.timers("Test"):
             for data in train_loader:
                 batch = self._put_batch(data)
                 loss, _ = eval_step(self.params, self.model_state, batch)
                 bw = float(np.sum(data["w"]))
-                f_sum += float(loss) * bw
+                f_sum = f_sum + loss * bw
                 w_sum += bw
-        self.f = f_sum / max(w_sum, 1.0)
+        self.f = float(f_sum) / max(w_sum, 1.0)
 
         if self.pow_iter and rdata is not None:
             batch = self._put_batch(rdata)
