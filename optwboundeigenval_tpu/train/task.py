@@ -155,16 +155,16 @@ class Task:
             return out
         return self.model.apply(variables, x, train=train, rngs=rngs)
 
-    def loss_fn(self, model_state, batch, rng=None) -> Callable:
-        """Returns ``f(params) -> scalar`` in train mode with frozen
-        mutable state — the function differentiated (twice, thrice) by
-        the curvature kernel."""
+    def loss_fn(self, model_state, rng=None) -> Callable:
+        """Returns ``f(params, batch) -> scalar`` in train mode with
+        frozen mutable state — the function differentiated (twice,
+        thrice) by the curvature kernel."""
 
-        def f(params, batch_=batch):
-            out = self._apply(params, model_state, batch_["x"], True, rng)
-            return self.loss(out, batch_["y"], batch_.get("w"))
+        def f(params, batch):
+            out = self._apply(params, model_state, batch["x"], True, rng)
+            return self.loss(out, batch["y"], batch.get("w"))
 
-        return lambda params, batch_: f(params, batch_)
+        return f
 
     def train_loss(self, params, model_state, batch, rng=None):
         """(loss, new_model_state) for the SGD step; BN running stats
