@@ -9,6 +9,15 @@ Deviations (documented reference quirks, SURVEY.md §7):
     usps_data.py:335).  We output logits — idiomatic and numerically
     sound; the loss applies log-softmax once.
   * NHWC layout (TPU-native; conv lowering prefers channels-last).
+
+Performance note (``conv_impl``): tiny convolutions pay a fixed
+~12.5 us non-fusing cost each on TPU, which dominates the HVP hot loop
+(the compute itself is microseconds).  ``conv_impl='gemm'`` expresses
+each conv as im2col patches + ONE matmul and the 2x2 maxpool as a
+reshape-max — both fuse into the surrounding elementwise work, cutting
+the per-HVP cost several-fold at identical math (validated in
+tests/test_gemm_conv.py).  Default stays 'lax' (XLA's conv) for large
+models where the MXU conv path wins.
 """
 
 from __future__ import annotations
@@ -19,9 +28,34 @@ from optwboundeigenval_tpu.models.activations import relu
 import jax.numpy as jnp
 
 
+def gemm_conv3x3_same(x, kernel, bias):
+    """3x3 SAME conv as im2col + one matmul.  ``kernel``: (3, 3, cin,
+    cout) — flatten order (kh, kw, cin) matches
+    ops/kfac.extract_patches."""
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    cols = [
+        xp[:, dy : dy + h, dx : dx + w, :]
+        for dy in range(3)
+        for dx in range(3)
+    ]
+    patches = jnp.concatenate(cols, axis=-1)  # (B, H, W, 9*cin)
+    out = patches.reshape(-1, 9 * cin) @ kernel.reshape(9 * cin, cout)
+    return out.reshape(b, h, w, cout) + bias
+
+
+def reshape_max_pool2(x):
+    """2x2 stride-2 maxpool via reshape+max (fuses; reduce_window does
+    not for these tiny shapes)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
+
+
 class CNNUSPS(nn.Module):
     num_classes: int = 10
     dtype: jnp.dtype = jnp.float32
+    conv_impl: str = "lax"  # 'lax' | 'gemm'
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -29,10 +63,26 @@ class CNNUSPS(nn.Module):
         if x.ndim == 2:
             x = x.reshape(-1, 16, 16, 1)
         x = x.astype(self.dtype)
-        for features in (8, 16, 32):
-            x = nn.Conv(features, (3, 3), padding="SAME", dtype=self.dtype)(x)
-            x = relu(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        for i, features in enumerate((8, 16, 32)):
+            if self.conv_impl == "gemm":
+                kernel = self.param(
+                    f"Conv_{i}_kernel",
+                    nn.initializers.lecun_normal(),
+                    (3, 3, x.shape[-1], features),
+                    self.dtype,
+                )
+                bias = self.param(
+                    f"Conv_{i}_bias", nn.initializers.zeros, (features,),
+                    self.dtype,
+                )
+                x = gemm_conv3x3_same(x, kernel, bias)
+                x = relu(x)
+                x = reshape_max_pool2(x)
+            else:
+                x = nn.Conv(features, (3, 3), padding="SAME",
+                            dtype=self.dtype)(x)
+                x = relu(x)
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = x.reshape(x.shape[0], -1)  # (B, 2*2*32) = (B, 128)
         x = relu(nn.Dense(64, dtype=self.dtype)(x))
         x = nn.Dense(self.num_classes, dtype=self.dtype)(x)
