@@ -14,10 +14,11 @@ Performance note (``conv_impl``): tiny convolutions pay a fixed
 ~12.5 us non-fusing cost each on TPU, which dominates the HVP hot loop
 (the compute itself is microseconds).  ``conv_impl='gemm'`` expresses
 each conv as im2col patches + ONE matmul and the 2x2 maxpool as a
-reshape-max — both fuse into the surrounding elementwise work, cutting
-the per-HVP cost several-fold at identical math (validated in
-tests/test_gemm_conv.py).  Default stays 'lax' (XLA's conv) for large
-models where the MXU conv path wins.
+reshape-max.  Measured outcome (RESULTS.md): 0.63x — the lane-dim
+patch concatenation costs more than the convs it replaces, so 'lax'
+(XLA's conv) remains the default and the gemm path is kept as a
+documented experiment with identical math (tests/test_models.py
+validates exact numerical equivalence on shared params).
 """
 
 from __future__ import annotations
@@ -52,6 +53,25 @@ def reshape_max_pool2(x):
     return x.reshape(b, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
 
 
+class GemmConv3x3(nn.Module):
+    """3x3 SAME conv as im2col + matmul, with nn.Conv-compatible param
+    structure ({'kernel', 'bias'}) so checkpoints and K-FAC factor
+    walking work identically across conv_impl choices."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features), self.dtype,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.dtype)
+        return gemm_conv3x3_same(x, kernel, bias)
+
+
 class CNNUSPS(nn.Module):
     num_classes: int = 10
     dtype: jnp.dtype = jnp.float32
@@ -59,23 +79,17 @@ class CNNUSPS(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.conv_impl not in ("lax", "gemm"):
+            raise ValueError(
+                f"conv_impl must be 'lax' or 'gemm', got {self.conv_impl!r}"
+            )
         # accept (B, 256) flat or (B, 16, 16, 1) images
         if x.ndim == 2:
             x = x.reshape(-1, 16, 16, 1)
         x = x.astype(self.dtype)
         for i, features in enumerate((8, 16, 32)):
             if self.conv_impl == "gemm":
-                kernel = self.param(
-                    f"Conv_{i}_kernel",
-                    nn.initializers.lecun_normal(),
-                    (3, 3, x.shape[-1], features),
-                    self.dtype,
-                )
-                bias = self.param(
-                    f"Conv_{i}_bias", nn.initializers.zeros, (features,),
-                    self.dtype,
-                )
-                x = gemm_conv3x3_same(x, kernel, bias)
+                x = GemmConv3x3(features, self.dtype, name=f"Conv_{i}")(x)
                 x = relu(x)
                 x = reshape_max_pool2(x)
             else:

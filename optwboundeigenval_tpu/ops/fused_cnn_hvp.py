@@ -37,7 +37,6 @@ roofline, invariant from batch 8 to 1024) is recorded in RESULTS.md.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -259,16 +258,10 @@ def _kernel(
                 )
         return acc.reshape(B, H, W, cin)
 
-    def pool_select(t, P):
-        B, Hh, Ww, C = t.shape
-        return (t * P).reshape(B, Hh // 2, 2, Ww // 2, 2, C).sum(axis=(2, 4))
-
-    def unpool(d, P):
-        B, hh, ww, C = d.shape
-        up = jnp.broadcast_to(
-            d[:, :, None, :, None, :], (B, hh, 2, ww, 2, C)
-        ).reshape(B, hh * 2, ww * 2, C)
-        return up * P
+    # the module-level pool helpers operate on plain values and work
+    # unchanged inside the kernel
+    pool_select = _pool_select
+    unpool = _unpool
 
     B = xpad.shape[0]
 
