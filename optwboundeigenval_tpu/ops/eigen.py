@@ -275,6 +275,104 @@ def power_iteration_fused(
     )
 
 
+class SubspaceResult(NamedTuple):
+    eigenvalues: jax.Array  # (k,) descending by |value| estimate
+    V: jax.Array  # (k, n) orthonormal basis rows
+    resid: jax.Array  # (k,) per-vector residual norms
+    iters: jax.Array
+
+
+def subspace_iteration(
+    matvec: MatVec,
+    v0: Any,
+    k: int = 4,
+    *,
+    eps: float = 1e-4,
+    max_iter: int = 200,
+    key: Optional[jax.Array] = None,
+) -> SubspaceResult:
+    """Top-k eigenpairs by block power (simultaneous) iteration with
+    Rayleigh-Ritz — a capability upgrade over the reference's top-1
+    power method (opt.py:418-533), exposing the leading Hessian
+    *spectrum* rather than just the radius.
+
+    TPU-native: the k Hessian-vector products per step are ONE vmapped
+    call over the linear ``matvec`` (the linearized tangent pass
+    batches over vectors on the MXU), and the Rayleigh-Ritz projection
+    is a (k, k) eigh.  Operates on flat stacked vectors internally;
+    ``v0`` provides the pytree structure.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    flat0, unravel = ravel_pytree(v0)
+    n = flat0.size
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    V = jax.random.normal(key, (k, n), flat0.dtype)
+    V = V.at[0].set(flat0)
+
+    def mv_flat(u):
+        out, _ = ravel_pytree(matvec(unravel(u)))
+        return out
+
+    mv_block = jax.vmap(mv_flat)
+
+    def orthonormalize(V):
+        # QR on the transposed (n, k) block
+        Q, _ = jnp.linalg.qr(V.T)
+        return Q.T
+
+    class _S(NamedTuple):
+        i: jax.Array
+        V: jax.Array
+        evals: jax.Array
+        resid: jax.Array
+        done: jax.Array
+
+    def cond(s):
+        return jnp.logical_and(s.i < max_iter, jnp.logical_not(s.done))
+
+    def body(s):
+        W = mv_block(s.V)  # (k, n)
+        # Rayleigh-Ritz: project onto span(V)
+        H = s.V @ W.T  # (k, k) since V rows orthonormal
+        H = (H + H.T) / 2
+        evals, U = jnp.linalg.eigh(H)
+        # descending by |eigenvalue| (spectral-radius ordering)
+        order = jnp.argsort(-jnp.abs(evals))
+        evals = evals[order]
+        U = U[:, order]
+        ritz = U.T @ s.V  # (k, n) Ritz vectors
+        ritz_W = U.T @ W
+        resid = jnp.linalg.norm(
+            ritz_W - evals[:, None] * ritz, axis=1
+        )
+        done = jnp.all(resid < eps)
+        V_next = orthonormalize(ritz_W)
+        return _S(
+            i=s.i + 1,
+            V=jnp.where(done, s.V, V_next),
+            evals=evals,
+            resid=resid,
+            done=done,
+        )
+
+    init = _S(
+        i=jnp.asarray(0, jnp.int32),
+        V=orthonormalize(V),
+        evals=jnp.zeros((k,), flat0.dtype),
+        resid=jnp.full((k,), jnp.inf, flat0.dtype),
+        done=jnp.asarray(False),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return SubspaceResult(
+        eigenvalues=final.evals,
+        V=final.V,
+        resid=final.resid,
+        iters=final.i,
+    )
+
+
 def estimate_dominant_eig(
     matvec: MatVec,
     v0: Any,

@@ -808,6 +808,51 @@ class SpectralTrainer:
         return means
 
     # ------------------------------------------------------------------
+    # spectrum_test — top-k eigenvalues per batch (capability upgrade
+    # over the reference's top-1 rho_test, opt.py:882-910)
+    # ------------------------------------------------------------------
+    def spectrum_test(self, x=None, y=None, loader=None, k: int = 4,
+                      eps: float = 1e-4, max_iter: int = 200):
+        """Leading |eigenvalues| of the mini-batch Hessians via block
+        power iteration (ops/eigen.subspace_iteration); writes
+        ``<header2>_spectrum_test.csv`` with one row per batch."""
+        from optwboundeigenval_tpu.utils.tree import tree_uniform_like as _u
+
+        if loader is None:
+            loader = _as_loader((x, y), self.batch_size)
+
+        if "spectrum_step" not in self._compiled:
+            def step(params, model_state, batch, rng):
+                loss_fn = self._loss_fn(model_state, rng)
+                _, hvp_fn = curvature.linearize_hvp(loss_fn, params, batch)
+                return eigen.subspace_iteration(
+                    hvp_fn, _u(params), k=k, eps=eps, max_iter=max_iter
+                )
+
+            self._compiled["spectrum_step"] = jax.jit(step)
+
+        rows = []
+        for data in loader:
+            batch = self._put_batch(data)
+            self.rng, r = jax.random.split(self.rng)
+            res = self._compiled["spectrum_step"](
+                self.params, self.model_state, batch, r
+            )
+            res = jax.device_get(res)
+            rows.append(
+                list(np.asarray(res.eigenvalues))
+                + list(np.asarray(res.resid))
+                + [int(res.iters)]
+            )
+        arr = np.asarray(rows, dtype=float)
+        os.makedirs(self.log_dir, exist_ok=True)
+        np.savetxt(
+            os.path.join(self.log_dir, self.header2 + "_spectrum_test.csv"),
+            arr, delimiter=",",
+        )
+        return arr
+
+    # ------------------------------------------------------------------
     # checkpointing (opt.py:765-769, 1041-1071)
     # ------------------------------------------------------------------
     def save(self, tail: str = "_trained_model.msgpack"):

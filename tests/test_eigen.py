@@ -167,6 +167,57 @@ def test_on_neural_hessian():
     np.testing.assert_allclose(float(res.rho), true_rho, rtol=1e-3)
 
 
+def test_subspace_iteration_topk():
+    """Top-k block power iteration recovers the k dominant eigenvalues
+    (by magnitude), including a negative one."""
+    rng = np.random.default_rng(11)
+    Q, _ = np.linalg.qr(rng.normal(size=(40, 40)))
+    eigs = np.concatenate([[7.0, -5.0, 3.0], np.linspace(0.05, 1.0, 37)])
+    A = jnp.asarray((Q @ np.diag(eigs) @ Q.T).astype(np.float32))
+    v0 = {"x": jnp.full((40,), 1.0 / np.sqrt(40), jnp.float32)}
+    res = eigen.subspace_iteration(
+        matvec_from_matrix(A), v0, k=3, eps=1e-5, max_iter=500
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.eigenvalues), [7.0, -5.0, 3.0], rtol=1e-3
+    )
+    # Ritz basis is orthonormal
+    G = np.asarray(res.V @ res.V.T)
+    np.testing.assert_allclose(G, np.eye(3), atol=1e-4)
+
+
+def test_subspace_iteration_on_hessian():
+    """Top-k of a neural Hessian matches the dense spectrum."""
+
+    def loss(params, batch):
+        x, y = batch
+        h = jnp.tanh(x @ params["w1"])
+        return jnp.mean((h @ params["w2"] - y) ** 2)
+
+    key = jax.random.PRNGKey(0)
+    params = {
+        "w1": jax.random.normal(key, (5, 4), jnp.float64) * 0.7,
+        "w2": jax.random.normal(jax.random.fold_in(key, 1), (4, 2),
+                                jnp.float64) * 0.7,
+    }
+    batch = (
+        jax.random.normal(jax.random.fold_in(key, 2), (12, 5), jnp.float64),
+        jax.random.normal(jax.random.fold_in(key, 3), (12, 2), jnp.float64),
+    )
+    flat, unravel = tree_ravel(params)
+    H = jax.hessian(lambda p: loss(unravel(p), batch))(flat)
+    dense = np.linalg.eigvalsh(np.asarray(H))
+    top3 = dense[np.argsort(-np.abs(dense))][:3]
+
+    _, hvp_fn = curvature.linearize_hvp(loss, params, batch)
+    res = eigen.subspace_iteration(
+        hvp_fn, tree_uniform_like(params), k=3, eps=1e-8, max_iter=3000
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.eigenvalues), top3, rtol=1e-3
+    )
+
+
 def test_jittable_whole_solve():
     A = gapped_matrix(16, dominant=3.0, rest_max=1.0, seed=6)
 

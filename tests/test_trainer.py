@@ -126,6 +126,19 @@ def test_rho_test_csv(tmp_path, data):
     assert os.path.exists(os.path.join(tr.log_dir, tr.header2 + "_rho_test.csv"))
 
 
+def test_spectrum_test_topk(tmp_path, data):
+    train_loader, _ = data
+    tr = make_trainer(tmp_path, header="SPEC", max_iter=1)
+    tr.train(train_loader=train_loader)
+    arr = tr.spectrum_test(loader=train_loader, k=3, eps=1e-3, max_iter=100)
+    assert arr.shape[1] == 3 + 3 + 1  # k eigenvalues, k residuals, iters
+    # leading eigenvalue ordering by magnitude
+    assert np.all(np.abs(arr[:, 0]) + 1e-9 >= np.abs(arr[:, 1]))
+    assert os.path.exists(
+        os.path.join(tr.log_dir, tr.header2 + "_spectrum_test.csv")
+    )
+
+
 def test_checkpoint_roundtrip(tmp_path, data):
     train_loader, _ = data
     tr = make_trainer(tmp_path, header="CKPT", max_iter=1)
