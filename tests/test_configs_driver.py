@@ -135,6 +135,44 @@ def test_asymmetric_valley_trainer(tmp_path, monkeypatch):
         )
 
 
+def test_driver_jaccard_path(tmp_path, monkeypatch):
+    """jaccard=True with comp_fname: train a model, audit its saliency
+    against a baseline checkpoint (driver cascade, opt.py:2090s)."""
+    monkeypatch.chdir(tmp_path)
+    from optwboundeigenval_tpu.models import CNNUSPS
+
+    x, y = make_images(48, shape=(16, 16, 1), n_classes=10, seed=0)
+    base_opt = {
+        "model": CNNUSPS(),
+        "optimizer": sgd(0.1),
+        "mu": 0.0, "K": 0.0, "pow_iter": False,
+        "batch_size": 16, "max_iter": 1, "min_iter": 1,
+        "header": "BASE",
+        "train_loader": ArrayLoader(x, y, 16),
+        "valid_loader": ArrayLoader(x[:16], y[:16], 16),
+        "test": False,
+    }
+    tr_base = run(base_opt)
+    base_ckpt = os.path.join(
+        "./models", tr_base.header2 + "_trained_model_best.msgpack"
+    )
+    assert os.path.exists(base_ckpt)
+
+    opt = dict(base_opt)
+    opt.update(
+        header="AUDIT",
+        train_loader=ArrayLoader(x, y, 16),
+        test_loader=[ArrayLoader(x[:32], y[:32], 16)],
+        jaccard=True,
+        comp_fname=base_ckpt,
+        max_img=1,
+    )
+    tr = run(opt)
+    assert os.path.exists(
+        os.path.join("./logs", tr.header2 + "_jaccard_cond.csv")
+    )
+
+
 def test_saliency_maps(tmp_path):
     from optwboundeigenval_tpu.analysis.saliency import saliency_maps
     from optwboundeigenval_tpu.models import CNNUSPS
