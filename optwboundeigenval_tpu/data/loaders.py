@@ -128,22 +128,54 @@ class PrefetchLoader:
         import threading
 
         q: queue.Queue = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
         sentinel = object()
+        error: list = []
 
         def worker():
             try:
                 for batch in self.loader:
-                    q.put(batch)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except BaseException as exc:  # propagate loader failures
+                error.append(exc)
             finally:
-                q.put(sentinel)
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    break
+                yield item
+        finally:
+            # abandoned iteration (e.g. next(iter(loader))): unblock and
+            # terminate the worker instead of leaking a thread.  Note
+            # that the wrapped loader's RNG has still advanced by the
+            # prefetched batches — same caveat as torch DataLoader
+            # workers.
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=2.0)
 
 
 def train_valid_split(

@@ -44,14 +44,23 @@ class Optimizer:
     tx: Optional[optax.GradientTransformation] = None
 
     def set_learning_rate(self, state, lr):
-        """Host-side lr override (for plateau-style schedulers)."""
+        """Host-side lr override (for plateau-style schedulers).
+        Supports optax injected hyperparams and custom optimizer states
+        carrying an ``lr`` field (EntropySGD, KFAC)."""
         if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
             state.hyperparams["learning_rate"] = lr
+            return state
+        if hasattr(state, "lr") and hasattr(state, "_replace"):
+            import jax.numpy as jnp
+
+            return state._replace(lr=jnp.asarray(lr, jnp.float32))
         return state
 
     def get_learning_rate(self, state):
         if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
             return state.hyperparams["learning_rate"]
+        if hasattr(state, "lr"):
+            return state.lr
         return None
 
 

@@ -33,6 +33,7 @@ from optwboundeigenval_tpu.optim.api import Optimizer
 class EntropySGDState(NamedTuple):
     t: jax.Array  # outer step count
     mdw: Any  # outer momentum buffer
+    lr: jax.Array  # outer learning rate (scheduler-adjustable)
 
 
 def EntropySGD(
@@ -53,6 +54,7 @@ def EntropySGD(
         return EntropySGDState(
             t=jnp.zeros((), jnp.int32),
             mdw=jax.tree.map(jnp.zeros_like, params),
+            lr=jnp.asarray(lr, jnp.float32),
         )
 
     def momentum_step(dw, mdw, w):
@@ -114,7 +116,8 @@ def EntropySGD(
             outer_grad = direction
 
         dw, mdw = momentum_step(outer_grad, state.mdw, wc)
-        new_params = jax.tree.map(lambda p, d: p - lr * d, wc, dw)
-        return new_params, EntropySGDState(t=state.t + 1, mdw=mdw)
+        new_params = jax.tree.map(lambda p, d: p - state.lr * d, wc, dw)
+        return new_params, EntropySGDState(t=state.t + 1, mdw=mdw,
+                                           lr=state.lr)
 
     return Optimizer(name="EntropySGD", init=init, step=step, tx=None)

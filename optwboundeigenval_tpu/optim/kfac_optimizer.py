@@ -39,6 +39,7 @@ class KFACState(NamedTuple):
     steps: jax.Array
     momentum: Any
     factors: Any  # {path: LayerFactors}
+    lr: jax.Array  # scheduler-adjustable learning rate
 
 
 def KFAC(
@@ -59,6 +60,7 @@ def KFAC(
             steps=jnp.zeros((), jnp.int32),
             momentum=jax.tree.map(jnp.zeros_like, params),
             factors=None,
+            lr=jnp.asarray(lr, jnp.float32),
         )
 
     def build_extra_state(state, task, params, model_state, example_batch, rng):
@@ -100,7 +102,7 @@ def KFAC(
         # without factors pass through with nat == direction and are
         # excluded in the reference — including them adds |g|^2 lr^2
         # terms; to match, walk only factored paths:
-        vg_sum = _vg_sum_factored(factors, nat, direction, lr)
+        vg_sum = _vg_sum_factored(factors, nat, direction, state.lr)
         nu = jnp.where(
             vg_sum > 0, jnp.minimum(1.0, jnp.sqrt(kl_clip / vg_sum)), 1.0
         )
@@ -116,9 +118,12 @@ def KFAC(
         new_momentum = jax.tree.map(
             lambda b, d: momentum * b + d, state.momentum, d_p
         )
-        new_params = jax.tree.map(lambda p, b: p - lr * b, params, new_momentum)
+        new_params = jax.tree.map(
+            lambda p, b: p - state.lr * b, params, new_momentum
+        )
         return new_params, KFACState(
-            steps=state.steps + 1, momentum=new_momentum, factors=factors
+            steps=state.steps + 1, momentum=new_momentum, factors=factors,
+            lr=state.lr,
         )
 
     opt = Optimizer(name="KFAC", init=init, step=step, tx=None)

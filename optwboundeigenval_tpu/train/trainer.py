@@ -235,23 +235,7 @@ class SpectralTrainer:
     # jitted step builders
     # ------------------------------------------------------------------
     def _loss_fn(self, model_state, rng):
-        task = self.task
-
-        def loss_fn(params, batch):
-            variables = {"params": params, **model_state}
-            rngs = {"dropout": rng} if task.has_dropout else None
-            if task.has_batch_stats:
-                out, _ = task.model.apply(
-                    variables,
-                    batch["x"],
-                    train=True,
-                    rngs=rngs,
-                    mutable=["batch_stats"],
-                )
-            else:
-                out = task.model.apply(variables, batch["x"], train=True, rngs=rngs)
-            return task.loss(out, batch["y"], batch.get("w"))
-
+        loss_fn = self.task.loss_fn(model_state, rng)
         if self.remat:
             loss_fn = jax.checkpoint(loss_fn)
         return loss_fn
@@ -465,10 +449,15 @@ class SpectralTrainer:
                 gradf_norm = float(metrics["gradf_norm"])
             # NaN rollback: the reference reloads the last epoch
             # checkpoint when the optimizer step blows up or KFAC emits
-            # NaNs (opt.py:696-708).  A non-finite gradient norm means
-            # the step would poison the params — skip it, and reload the
-            # last checkpoint if one exists.
-            if not np.isfinite(gradf_norm):
+            # NaNs (opt.py:696-708).  Check BOTH gradient norms — a
+            # finite loss gradient with a non-finite penalty gradient
+            # (overflowing v^T(gradH)v) would otherwise poison params
+            # and then get checkpointed at epoch end.
+            step_bad = not (
+                np.isfinite(gradf_norm)
+                and np.isfinite(float(metrics["gradg_norm"]))
+            )
+            if step_bad:
                 ckpt = os.path.join(
                     self.model_dir, self.header2 + "_trained_model.msgpack"
                 )
@@ -494,7 +483,8 @@ class SpectralTrainer:
             os.makedirs(self.log_dir, exist_ok=True)
             mode = "w" if self.i == 0 else "a"
             with open(self.verbose_log_file, mode) as fh:
-                fh.write("batch\t rho\t norm\t gradf\t gradg\n")
+                if self.i == 0:
+                    fh.write("batch\t rho\t norm\t gradf\t gradg\n")
                 fh.write("\n".join(vlog) + "\n")
 
         # epoch-end: weighted-mean f over all batches in eval mode
@@ -585,6 +575,10 @@ class SpectralTrainer:
             )
             if has_valid:
                 _, self.val_acc, val_f1 = self.test_model(loader=valid_loader)
+                if self.val_acc is None:
+                    # 'conf' test_func yields no accuracy (confusion
+                    # matrix only, opt.py:1029-1033) — no best tracking
+                    self.val_acc, val_f1 = float("nan"), float("nan")
                 # best-model rule parity: best_h compares with `>` even
                 # though h is minimized — a documented reference quirk
                 # (opt.py:821-825); default tracks best val accuracy.
@@ -821,7 +815,8 @@ class SpectralTrainer:
         if loader is None:
             loader = _as_loader((x, y), self.batch_size)
 
-        if "spectrum_step" not in self._compiled:
+        cache_key = ("spectrum_step", k, eps, max_iter)
+        if cache_key not in self._compiled:
             def step(params, model_state, batch, rng):
                 loss_fn = self._loss_fn(model_state, rng)
                 _, hvp_fn = curvature.linearize_hvp(loss_fn, params, batch)
@@ -829,13 +824,13 @@ class SpectralTrainer:
                     hvp_fn, _u(params), k=k, eps=eps, max_iter=max_iter
                 )
 
-            self._compiled["spectrum_step"] = jax.jit(step)
+            self._compiled[cache_key] = jax.jit(step)
 
         rows = []
         for data in loader:
             batch = self._put_batch(data)
             self.rng, r = jax.random.split(self.rng)
-            res = self._compiled["spectrum_step"](
+            res = self._compiled[cache_key](
                 self.params, self.model_state, batch, r
             )
             res = jax.device_get(res)
@@ -910,6 +905,12 @@ class SpectralTrainer:
             fname = os.path.join(
                 self.model_dir, self.header2 + "_trained_model_best.msgpack"
             )
+            if not os.path.exists(fname):
+                # no best checkpoint exists (e.g. test_func='conf' has
+                # no accuracy to track) — fall back to the last epoch
+                fname = os.path.join(
+                    self.model_dir, self.header2 + "_trained_model.msgpack"
+                )
         payload = checkpoints.load_checkpoint(fname)
         self.params = checkpoints.restore_like(self.params, payload["params"])
         self.model_state = checkpoints.restore_like(
