@@ -98,10 +98,16 @@ def forest_config(
         "lobpcg": lobpcg,
         "asymmetric_valley": asymmetric_valley,
     }
+    import jax.numpy as jnp
+
     opt.update(forest.get_data())
     opt["optimizer"] = _make_optimizer(optimizer, lr=lr)
-    # beta(k) = 1/(1+k) LambdaLR (params/forest_best.py)
-    opt["scheduler"] = schedules.LambdaLR(lr, lambda k: 1.0 / (1.0 + k))
+    # beta(k) = 1/(1+k) LambdaLR (params/forest_best.py), built on the
+    # optimizer's actual base lr (comparators use their own defaults)
+    probe_state = opt["optimizer"].init({"w": jnp.zeros(1)})
+    base = opt["optimizer"].get_learning_rate(probe_state)
+    base_lr = float(base) if base is not None else lr
+    opt["scheduler"] = schedules.LambdaLR(base_lr, lambda k: 1.0 / (1.0 + k))
     opt.update(extra)
     return opt
 
