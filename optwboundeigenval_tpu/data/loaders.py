@@ -36,10 +36,18 @@ class ArrayLoader:
         pad: bool = True,
         drop_remainder: bool = False,
         augment: Optional[Callable[[np.ndarray, np.random.Generator], np.ndarray]] = None,
+        host_shard: Optional[tuple] = None,
     ):
         assert len(x) == len(y)
         self.x = np.asarray(x)
         self.y = np.asarray(y)
+        if host_shard is not None:
+            # multi-host input pipeline: host i of n feeds its strided
+            # shard (SURVEY.md §2.9 "per-host data sharding"); pass
+            # (jax.process_index(), jax.process_count())
+            i, n = host_shard
+            self.x = self.x[i::n]
+            self.y = self.y[i::n]
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.pad = pad

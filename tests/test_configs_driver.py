@@ -135,6 +135,37 @@ def test_asymmetric_valley_trainer(tmp_path, monkeypatch):
         )
 
 
+def test_driver_aug_test_with_loader_list(tmp_path, monkeypatch):
+    """aug_test over the USPS two-recipe augmented loader list
+    (usps_data.py:25-33 variants; driver handles list or single)."""
+    monkeypatch.chdir(tmp_path)
+    from optwboundeigenval_tpu.models import CNNUSPS
+
+    x, y = make_images(48, shape=(16, 16, 1), n_classes=10, seed=0)
+    from optwboundeigenval_tpu.data.transforms import usps_augment
+
+    opt = {
+        "model": CNNUSPS(),
+        "optimizer": sgd(0.1),
+        "mu": 0.0, "K": 0.0, "pow_iter": False,
+        "batch_size": 16, "max_iter": 1, "min_iter": 1,
+        "header": "AUG",
+        "train_loader": ArrayLoader(x, y, 16),
+        "valid_loader": ArrayLoader(x[:16], y[:16], 16),
+        "test": False,
+        "aug_test": True,
+        "test_loader_aug": [
+            ArrayLoader(x[:32], y[:32], 16,
+                        augment=usps_augment(1, 15)),
+            ArrayLoader(x[:32], y[:32], 16,
+                        augment=usps_augment(2, 30)),
+        ],
+    }
+    tr = run(opt)
+    log = open(tr.log_file).read()
+    assert log.count("Aug Test Loss:") == 2
+
+
 def test_driver_jaccard_path(tmp_path, monkeypatch):
     """jaccard=True with comp_fname: train a model, audit its saliency
     against a baseline checkpoint (driver cascade, opt.py:2090s)."""

@@ -98,6 +98,15 @@ def test_cifar_loaders_and_norm():
     assert next(iter(test))["y"].max() <= 99
 
 
+def test_host_shard_partitions_data():
+    x = np.arange(10, dtype=np.float32).reshape(10, 1)
+    y = np.arange(10, dtype=np.int32)
+    shards = [ArrayLoader(x, y, 4, host_shard=(i, 2)) for i in range(2)]
+    assert shards[0].num_examples + shards[1].num_examples == 10
+    all_y = np.sort(np.concatenate([s.y for s in shards]))
+    np.testing.assert_array_equal(all_y, y)
+
+
 def test_augment_recipes_shapes():
     rng = np.random.default_rng(0)
     x = rng.normal(size=(4, 16, 16, 1)).astype(np.float32)
