@@ -27,10 +27,12 @@ runs only the fused tangent passes.
 
 Status: the math is exact — validated against
 ``curvature.linearize_hvp`` on CPU (interpret mode) including padded
-zero-weight rows and scan usage (tests/test_fused_cnn_hvp.py).  On the
-current toolchain the Mosaic TPU compiler is killed (OOM) on the fully
-unrolled kernel (54 dot_generals + slices), so the autodiff HVP remains
-the production path; this module stands as the fusion blueprint — the
+zero-weight rows and scan usage (tests/test_fused_cnn_hvp.py).  Two
+kernel formulations were attempted on the current toolchain's remote
+Mosaic compiler: the 9-shifted-matmul version is OOM-killed, and the
+im2col single-dot-per-conv version (this file) did not finish
+compiling within 20 minutes.  The autodiff HVP therefore remains the
+production path; this module stands as the fusion blueprint — the
 per-op overhead analysis that motivates it (155 us/HVP, <1% of
 roofline, invariant from batch 8 to 1024) is recorded in RESULTS.md.
 """
@@ -202,61 +204,67 @@ def _kernel(
 ):
     f32 = jnp.float32
 
+    def _patches(apad_v, H, W):
+        """im2col inside VMEM: (B, H+2, W+2, C) -> (B*H*W, 9C) with
+        flatten order (dy, dx, c)."""
+        B = apad_v.shape[0]
+        cin = apad_v.shape[-1]
+        cols = []
+        for dy in range(3):
+            for dx in range(3):
+                cols.append(
+                    apad_v[:, dy : dy + H, dx : dx + W, :].reshape(
+                        B * H * W, cin
+                    )
+                )
+        return jnp.concatenate(cols, axis=-1)
+
     def conv_shift(apad_v, kernel_v, H, W):
-        """SAME 3x3 conv via 9 shifted matmuls; apad_v (B, H+2, W+2, C)."""
+        """SAME 3x3 conv as ONE matmul over im2col patches;
+        kernel_v (3, 3, cin, cout) flattens to (9*cin, cout) in the
+        same (dy, dx, c) order."""
         B = apad_v.shape[0]
         cin = apad_v.shape[-1]
         cout = kernel_v.shape[-1]
-        acc = jnp.zeros((B * H * W, cout), f32)
-        for dy in range(3):
-            for dx in range(3):
-                sl = apad_v[:, dy : dy + H, dx : dx + W, :].reshape(
-                    B * H * W, cin
-                )
-                acc = acc + jax.lax.dot_general(
-                    sl, kernel_v[dy, dx],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                )
-        return acc.reshape(B, H, W, cout)
+        p = _patches(apad_v, H, W)
+        kflat = kernel_v.reshape(9 * cin, cout)
+        out = jax.lax.dot_general(
+            p, kflat, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        return out.reshape(B, H, W, cout)
 
     def conv_weight_grad(apad_v, delta_v, cin, cout, H, W):
-        """dK[dy,dx] = slice(apad)^T @ delta (contract over B*H*W)."""
+        """dK = patches^T @ delta as ONE matmul -> (9*cin, cout) ->
+        (3, 3, cin, cout)."""
         B = apad_v.shape[0]
         d2 = delta_v.reshape(B * H * W, cout)
-        rows = []
-        for dy in range(3):
-            row = []
-            for dx in range(3):
-                sl = apad_v[:, dy : dy + H, dx : dx + W, :].reshape(
-                    B * H * W, cin
-                )
-                row.append(
-                    jax.lax.dot_general(
-                        sl, d2, (((0,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                    )
-                )
-            rows.append(jnp.stack(row))
-        return jnp.stack(rows)  # (3, 3, cin, cout)
+        p = _patches(apad_v, H, W)  # (BHW, 9*cin)
+        flat = jax.lax.dot_general(
+            p, d2, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )  # (9*cin, cout)
+        return flat.reshape(3, 3, cin, cout)
 
     def conv_transpose(delta_v, kernel_v, H, W):
-        """d a[p,q] = sum_{dy,dx} delta[p-dy+1, q-dx+1] @ K[dy,dx]^T."""
+        """d a[p,q] = sum_{dy,dx} delta[p-dy+1, q-dx+1] @ K[dy,dx]^T as
+        ONE matmul over delta-patches with the flipped kernel."""
         B = delta_v.shape[0]
         cout = delta_v.shape[-1]
         cin = kernel_v.shape[2]
         dpad = jnp.pad(delta_v, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        acc = jnp.zeros((B * H * W, cin), f32)
+        # patch order (dy, dx) pairs with kernel[2-dy, 2-dx]^T; build
+        # the (9*cout, cin) matrix from static slices (mosaic has no
+        # rev/flip primitive)
+        blocks = []
         for dy in range(3):
             for dx in range(3):
-                sl = dpad[:, 2 - dy : 2 - dy + H, 2 - dx : 2 - dx + W, :]
-                acc = acc + jax.lax.dot_general(
-                    sl.reshape(B * H * W, cout),
-                    kernel_v[dy, dx],
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=f32,
-                )
-        return acc.reshape(B, H, W, cin)
+                blocks.append(kernel_v[2 - dy, 2 - dx].T)  # (cout, cin)
+        kmat = jnp.concatenate(blocks, axis=0)
+        p = _patches(dpad, H, W)  # (BHW, 9*cout) in (dy, dx, cout) order
+        out = jax.lax.dot_general(
+            p, kmat, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        return out.reshape(B, H, W, cin)
 
     # the module-level pool helpers operate on plain values and work
     # unchanged inside the kernel
