@@ -107,6 +107,37 @@ def test_remat_and_micro_hvp_match_default(tmp_path):
                                rtol=1e-3)
 
 
+def test_legacy_train_utils(tmp_path):
+    """Legacy standalone loop parity (dcnn.py:418-579 surface)."""
+    from optwboundeigenval_tpu.optim import sgd as make_sgd
+    from optwboundeigenval_tpu.train import Task, legacy
+
+    x, y = make_classification(96, 8, 3, seed=0)
+    loader = ArrayLoader(x, y, 32)
+    task = Task(model=ForestNet(hidden=8, num_classes=3))
+    params, ms = task.init(jax.random.PRNGKey(0),
+                           jnp.asarray(x[:32]))
+    opt = make_sgd(0.2)
+    opt_state = opt.init(params)
+    loss0, _ = legacy.validate(task, params, ms, loader)
+    rng = jax.random.PRNGKey(1)
+    for _ in range(3):
+        params, ms, opt_state, avg = legacy.train_epoch(
+            task, params, ms, opt, opt_state, loader, rng
+        )
+    loss1, acc1 = legacy.validate(task, params, ms, loader)
+    assert loss1 < loss0
+    m = legacy.AverageMeter()
+    m.update(1.0, 2)
+    m.update(2.0, 2)
+    assert m.avg == 1.5
+    p = legacy.save_checkpoint_copy_on_best(
+        {"params": params}, True,
+        path=str(tmp_path / "ck.msgpack"),
+    )
+    assert os.path.exists(p) and p.endswith("_best.msgpack")
+
+
 def test_golden_run_regression(tmp_path):
     """Deterministic seeds give a reproducible (f, rho) trajectory —
     the golden-run tier of SURVEY.md §4d.  Guards against silent
