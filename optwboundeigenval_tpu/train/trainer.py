@@ -406,9 +406,67 @@ class SpectralTrainer:
         else:
             self._kfac_iter += 1
 
+    def train_step(
+        self, batch: Dict[str, Any], mu: Optional[float] = None
+    ) -> Dict[str, Any]:
+        """Public single-step API: run ONE full spectral-regularized
+        training step on ``batch`` — gradient linearization, power
+        iteration, gated v^T(∇H)v penalty gradient, optimizer update —
+        and commit the new ``(params, model_state, opt_state, v)``.
+
+        This is exactly the per-batch body of the training loop
+        (reference ``iter()``, opt.py:580-763): ``iter_epoch`` calls it,
+        and so does the driver's multi-chip dryrun, so external checks
+        exercise the identical compiled program ``train()`` runs.
+
+        Returns the per-batch metrics as a host-side dict, with a
+        ``step_ok`` bool.  On a non-finite gradient the step is NOT
+        committed (the caller decides whether to reload a checkpoint —
+        the reference's rollback, opt.py:696-708).
+        """
+        if self.params is None:
+            self.init_state(batch)
+        if mu is None:
+            mu = self.mu(self.i) if callable(self.mu) else self.mu
+        step = self._get("train_step", self._build_train_step)
+        dev_batch = self._put_batch(batch)
+        self.rng, step_rng = jax.random.split(self.rng)
+        self._refresh_precond(dev_batch, step_rng)
+        new_params, new_model_state, new_opt_state, new_v, metrics = step(
+            self.params,
+            self.model_state,
+            self.opt_state,
+            self.v,
+            dev_batch,
+            jnp.asarray(mu, jnp.float32),
+            step_rng,
+            self._precond_state,
+        )
+        # ONE device->host transfer for all per-batch metrics
+        # (scalar-by-scalar float() costs a tunnel round trip each on
+        # the remote TPU)
+        metrics = jax.device_get(metrics)
+        # NaN guard: check BOTH gradient norms — a finite loss gradient
+        # with a non-finite penalty gradient (overflowing v^T(∇H)v)
+        # would otherwise poison params and then get checkpointed at
+        # epoch end.
+        step_ok = bool(
+            np.isfinite(float(metrics["gradf_norm"]))
+            and np.isfinite(float(metrics["gradg_norm"]))
+        )
+        if step_ok:
+            self.params = new_params
+            self.model_state = new_model_state
+            self.opt_state = new_opt_state
+            self.v = new_v
+            self.rho = float(metrics["rho"])
+            self.norm = float(metrics["norm"])
+            self.g = float(metrics["g"])
+        metrics["step_ok"] = step_ok
+        return metrics
+
     def iter_epoch(self, train_loader: ArrayLoader) -> None:
         mu = self.mu(self.i) if callable(self.mu) else self.mu
-        train_step = self._get("train_step", self._build_train_step)
         eval_step = self._get("eval_step", self._build_eval_step)
         rho_step = self._get("rho_step", self._build_rho_step)
 
@@ -422,55 +480,19 @@ class SpectralTrainer:
         for j, data in enumerate(train_loader):
             if j == rbatch:
                 rdata = data
-            batch = self._put_batch(data)
-            self.rng, step_rng = jax.random.split(self.rng)
-            self._refresh_precond(batch, step_rng)
             with self.timers("G"):
-                (
-                    new_params,
-                    new_model_state,
-                    new_opt_state,
-                    new_v,
-                    metrics,
-                ) = train_step(
-                    self.params,
-                    self.model_state,
-                    self.opt_state,
-                    self.v,
-                    batch,
-                    jnp.asarray(mu, jnp.float32),
-                    step_rng,
-                    self._precond_state,
-                )
-                # ONE device->host transfer for all per-batch metrics
-                # (scalar-by-scalar float() costs a tunnel round trip
-                # each on the remote TPU)
-                metrics = jax.device_get(metrics)
+                metrics = self.train_step(data, mu=mu)
                 gradf_norm = float(metrics["gradf_norm"])
             # NaN rollback: the reference reloads the last epoch
             # checkpoint when the optimizer step blows up or KFAC emits
-            # NaNs (opt.py:696-708).  Check BOTH gradient norms — a
-            # finite loss gradient with a non-finite penalty gradient
-            # (overflowing v^T(gradH)v) would otherwise poison params
-            # and then get checkpointed at epoch end.
-            step_bad = not (
-                np.isfinite(gradf_norm)
-                and np.isfinite(float(metrics["gradg_norm"]))
-            )
-            if step_bad:
+            # NaNs (opt.py:696-708).
+            if not metrics["step_ok"]:
                 ckpt = os.path.join(
                     self.model_dir, self.header2 + "_trained_model.msgpack"
                 )
                 if os.path.exists(ckpt):
                     self.model_load(ckpt)
                 continue
-            self.params = new_params
-            self.model_state = new_model_state
-            self.opt_state = new_opt_state
-            self.v = new_v
-            self.rho = float(metrics["rho"])
-            self.norm = float(metrics["norm"])
-            self.g = float(metrics["g"])
             self.mem_check()
             if self.verbose:
                 vlog.append(
