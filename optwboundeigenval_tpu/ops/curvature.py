@@ -102,6 +102,16 @@ def _micro_slices(batch, num_micro: int):
     return slice_i, mb
 
 
+def _batch_weight(batch):
+    """Total example weight of a batch (sum of padding weights if
+    present, else the leading dimension)."""
+    if "w" in batch:
+        return jnp.sum(batch["w"])
+    return jnp.asarray(
+        jax.tree_util.tree_leaves(batch)[0].shape[0], jnp.float32
+    )
+
+
 def hvp_microbatched(
     loss_fn: LossFn, params, batch, v, num_micro: int, *, use_pallas: bool = True
 ):
@@ -128,22 +138,11 @@ def hvp_microbatched(
     from optwboundeigenval_tpu.utils.tree import tree_zeros_like
 
     slice_i, _ = _micro_slices(batch, num_micro)
-    w_total = (
-        jnp.sum(batch["w"]) if "w" in batch
-        else jnp.asarray(
-            jax.tree_util.tree_leaves(batch)[0].shape[0], jnp.float32
-        )
-    )
+    w_total = _batch_weight(batch)
 
     def body(acc, i):
         mbatch = slice_i(i)
-        w_m = (
-            jnp.sum(mbatch["w"]) if "w" in mbatch
-            else jnp.asarray(
-                jax.tree_util.tree_leaves(mbatch)[0].shape[0], jnp.float32
-            )
-        )
-        scale = w_m / jnp.maximum(w_total, 1e-12)
+        scale = _batch_weight(mbatch) / jnp.maximum(w_total, 1e-12)
 
         g = lambda p: jax.grad(loss_fn)(p, mbatch)
         hv_m = jax.jvp(g, (params,), (v,))[1]
@@ -168,24 +167,50 @@ def grad_microbatched(loss_fn: LossFn, params, batch, num_micro: int):
     from optwboundeigenval_tpu.utils.tree import tree_zeros_like
 
     slice_i, _ = _micro_slices(batch, num_micro)
-    w_total = (
-        jnp.sum(batch["w"]) if "w" in batch
-        else jnp.asarray(
-            jax.tree_util.tree_leaves(batch)[0].shape[0], jnp.float32
-        )
-    )
+    w_total = _batch_weight(batch)
 
     def body(acc, i):
         mbatch = slice_i(i)
-        w_m = (
-            jnp.sum(mbatch["w"]) if "w" in mbatch
-            else jnp.asarray(
-                jax.tree_util.tree_leaves(mbatch)[0].shape[0], jnp.float32
-            )
-        )
-        scale = w_m / jnp.maximum(w_total, 1e-12)
+        scale = _batch_weight(mbatch) / jnp.maximum(w_total, 1e-12)
         g = jax.grad(loss_fn)(params, mbatch)
         return jax.tree.map(lambda a, d: a + scale * d, acc, g), None
+
+    acc, _ = jax.lax.scan(
+        body, tree_zeros_like(params), jnp.arange(num_micro)
+    )
+    return acc
+
+
+def vghv_microbatched(loss_fn: LossFn, params, batch, v, num_micro: int):
+    """``v^T (grad H) v`` accumulated over micro-batches.
+
+    The third-order reverse pass is the MOST memory-hungry pass in the
+    spectral step (reverse over forward-over-reverse holds the largest
+    residual set), so the ``hvp_micro`` memory bound must hold here too,
+    not just for the gradient and power-iteration HVPs.  For weighted-
+    mean losses ``H = sum_m scale_m H_m`` with
+    ``scale_m = sum(w_m)/sum(w)``, so the micro vGHv terms sum exactly
+    to the full-batch one — same exactness argument as
+    :func:`hvp_microbatched`.  Reference surface: ``HVPOperator.vGHv``
+    (opt.py:110-152), whose memory the reference bounds only by capping
+    the batch itself.
+    """
+    from optwboundeigenval_tpu.utils.tree import tree_zeros_like
+
+    slice_i, _ = _micro_slices(batch, num_micro)
+    w_total = _batch_weight(batch)
+
+    def body(acc, i):
+        mbatch = slice_i(i)
+        scale = _batch_weight(mbatch) / jnp.maximum(w_total, 1e-12)
+
+        def rayleigh_num(p):
+            g = lambda q: jax.grad(loss_fn)(q, mbatch)
+            hv = jax.jvp(g, (p,), (v,))[1]
+            return tree_vdot(hv, v)
+
+        gr = jax.grad(rayleigh_num)(params)
+        return jax.tree.map(lambda a, d: a + scale * d, acc, gr), None
 
     acc, _ = jax.lax.scan(
         body, tree_zeros_like(params), jnp.arange(num_micro)

@@ -61,6 +61,7 @@ class LayerCapture(NamedTuple):
     g: jax.Array  # dL/d(layer output)
     kind: str  # 'dense' | 'conv'
     conv_cfg: Optional[tuple]  # (kernel_size, strides, padding) for conv
+    w: Optional[jax.Array] = None  # per-example padding weights
 
 
 def _path_of(module: nn.Module) -> str:
@@ -177,7 +178,9 @@ def capture(
     out: Dict[str, LayerCapture] = {}
     for path, a in acts.items():
         kind, cfg = meta[path]
-        out[path] = LayerCapture(a=a, g=g_taps[path], kind=kind, conv_cfg=cfg)
+        out[path] = LayerCapture(
+            a=a, g=g_taps[path], kind=kind, conv_cfg=cfg, w=batch.get("w")
+        )
     return loss, out
 
 
@@ -225,42 +228,78 @@ def extract_patches(x, kernel_size, strides, padding):
     return patches.reshape(x.shape[0], out_h, out_w, kh * kw * x.shape[3])
 
 
+def _padding_stats(w, batch: int, dtype):
+    """``(mask, n, sum_w)``: per-example real-row mask, real example
+    count, and total weight.  Without weights all rows are real —
+    reference semantics (kfac.py assumes unpadded batches).
+
+    Factors must stay exact on padded batches (repo convention): padded
+    rows carry nonzero activations through bias propagation, so cov_a
+    would be polluted and the 1/B scale wrong by B/sum(w) on every
+    final partial batch feeding the preconditioner.
+    """
+    if w is None:
+        b = jnp.asarray(batch, dtype)
+        return None, b, b
+    mask = (w > 0).astype(dtype)
+    n = jnp.maximum(jnp.sum(mask), 1.0)
+    return mask, n, jnp.maximum(jnp.sum(w.astype(dtype)), 1e-12)
+
+
 def cov_a(cap: LayerCapture, has_bias: bool) -> jax.Array:
-    """Activation covariance (ComputeCovA, kfac.py:296-314)."""
+    """Activation covariance (ComputeCovA, kfac.py:296-314), with padded
+    zero-weight rows masked out and the REAL example count as the
+    normalizer (exactness on partial batches)."""
     a = cap.a
+    mask, n, _ = _padding_stats(cap.w, a.shape[0], a.dtype)
     if cap.kind == "conv":
         ksize, strides, padding = cap.conv_cfg
         a = extract_patches(a, ksize, strides, padding)
         spatial = a.shape[1] * a.shape[2]
-        batch = a.shape[0]
         a = a.reshape(-1, a.shape[-1])
         if has_bias:
             a = jnp.concatenate([a, jnp.ones((a.shape[0], 1), a.dtype)], axis=1)
+        if mask is not None:
+            # rows are example-major after reshape: repeat the mask
+            # spatial times (zeroes the bias column of padded rows too)
+            a = a * jnp.repeat(mask, spatial)[:, None]
         a = a / spatial
-        return a.T @ (a / batch)
+        return a.T @ (a / n)
     batch = a.shape[0]
     a = a.reshape(batch, -1)
     if has_bias:
         a = jnp.concatenate([a, jnp.ones((batch, 1), a.dtype)], axis=1)
-    return a.T @ (a / batch)
+    if mask is not None:
+        a = a * mask[:, None]
+    return a.T @ (a / n)
 
 
 def cov_g(cap: LayerCapture, batch_averaged: bool = True) -> jax.Array:
-    """Grad-output covariance (ComputeCovG, kfac.py:341-367)."""
+    """Grad-output covariance (ComputeCovG, kfac.py:341-367).
+
+    ``batch_averaged`` undoes the loss's mean normalization before the
+    outer product.  Here losses are weighted means (divide by
+    ``sum(w)``), so the rescale is ``sum(w)`` — not the padded leading
+    dimension — and the final normalizer is the real example count.
+    """
     g = cap.g
+    mask, n, sum_w = _padding_stats(cap.w, g.shape[0], g.dtype)
     if cap.kind == "conv":
         spatial = g.shape[1] * g.shape[2]
-        batch = g.shape[0]
         g = g.reshape(-1, g.shape[-1])
+        if mask is not None:
+            g = g * jnp.repeat(mask, spatial)[:, None]
         if batch_averaged:
-            g = g * batch
+            g = g * sum_w
         g = g * spatial
-        return g.T @ (g / g.shape[0])
+        return g.T @ (g / (n * spatial))
     batch = g.shape[0]
     g = g.reshape(batch, -1)
+    if mask is not None:
+        g = g * mask[:, None]
     if batch_averaged:
-        return g.T @ (g * batch)
-    return g.T @ (g / batch)
+        g = g * sum_w
+    return g.T @ (g / n)
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,11 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from optwboundeigenval_tpu.ops.curvature import LossFn, vghv
+from optwboundeigenval_tpu.ops.curvature import (
+    LossFn,
+    vghv,
+    vghv_microbatched,
+)
 from optwboundeigenval_tpu.utils.tree import (
     tree_axpy,
     tree_scale,
@@ -72,13 +76,22 @@ def penalty_and_grad(
     K: float,
     Kmin: float = 0.0,
     gradg_clip: Optional[float] = None,
+    num_micro: int = 1,
 ) -> SpectralGrad:
     """Compute ``g`` and ``grad g`` with the reference's gating: the
-    ``v^T (grad H) v`` pass only runs when ``g > 0`` (opt.py:631-636)."""
+    ``v^T (grad H) v`` pass only runs when ``g > 0`` (opt.py:631-636).
+
+    With ``num_micro > 1`` the third-order pass is micro-batched
+    (:func:`~optwboundeigenval_tpu.ops.curvature.vghv_microbatched`) so
+    the trainer's ``hvp_micro`` memory bound holds on the most
+    memory-hungry pass, not just the gradient/HVP ones."""
     g = penalty(rho, K, Kmin)
 
     def active(_):
-        gr = vghv(loss_fn, params, batch, v)
+        if num_micro > 1:
+            gr = vghv_microbatched(loss_fn, params, batch, v, num_micro)
+        else:
+            gr = vghv(loss_fn, params, batch, v)
         gr = clip_by_norm(gr, gradg_clip)
         sign = penalty_sign(rho, K)
         return gr, tree_scale(sign, gr)

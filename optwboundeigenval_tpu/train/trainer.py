@@ -287,6 +287,7 @@ class SpectralTrainer:
                     K=self.K,
                     Kmin=self.Kmin,
                     gradg_clip=self.gradg_clip,
+                    num_micro=self.hvp_micro,
                 )
                 direction = spectral.regularized_direction(grads_f, sg.grad_g, mu)
                 new_v = eig.v

@@ -158,3 +158,32 @@ def test_kfac_on_conv_model(tmp_path):
     )
     tr.train(train_loader=loader)
     assert np.isfinite(tr.f)
+
+
+def test_cov_factors_exact_on_padded_batch():
+    """Padding exactness (repo convention): cov_a/cov_g computed on a
+    zero-weight-padded batch equal those on the unpadded sub-batch —
+    padded rows are masked and the REAL example count normalizes."""
+    task = Task(model=ForestNet(hidden=6, num_classes=4))
+    x, y = make_classification(12, 10, 4, seed=3)
+    params, ms = task.init(jax.random.PRNGKey(1), jnp.asarray(x))
+
+    clean = {"x": jnp.asarray(x), "y": jnp.asarray(y),
+             "w": jnp.ones(12, jnp.float32)}
+    # pad with GARBAGE rows at zero weight — masking must remove them
+    pad_x = 99.0 * jnp.ones((4, 10), jnp.float32)
+    padded = {
+        "x": jnp.concatenate([clean["x"], pad_x]),
+        "y": jnp.concatenate([clean["y"], jnp.zeros(4, clean["y"].dtype)]),
+        "w": jnp.concatenate([clean["w"], jnp.zeros(4, jnp.float32)]),
+    }
+    _, caps_c = kfac_ops.capture(task, params, ms, clean)
+    _, caps_p = kfac_ops.capture(task, params, ms, padded)
+    for path in caps_c:
+        aa_c = np.asarray(kfac_ops.cov_a(caps_c[path], has_bias=True))
+        aa_p = np.asarray(kfac_ops.cov_a(caps_p[path], has_bias=True))
+        np.testing.assert_allclose(aa_p, aa_c, rtol=1e-5, atol=1e-6)
+        for ba in (True, False):
+            gg_c = np.asarray(kfac_ops.cov_g(caps_c[path], batch_averaged=ba))
+            gg_p = np.asarray(kfac_ops.cov_g(caps_p[path], batch_averaged=ba))
+            np.testing.assert_allclose(gg_p, gg_c, rtol=1e-5, atol=1e-6)
