@@ -49,6 +49,21 @@ def cross_entropy(outputs: jax.Array, y: jax.Array, w=None) -> jax.Array:
     return _weighted_mean(nll, w)
 
 
+def cross_entropy_double_softmax(
+    outputs: jax.Array, y: jax.Array, w=None
+) -> jax.Array:
+    """The reference's EXACT loss composition: its models apply softmax
+    in-model (usps_data.py:335, forest_data.py:87) and then
+    ``nn.CrossEntropyLoss`` applies log-softmax AGAIN.  Reproduced here
+    from logits for head-to-head parity runs (benchmarks/parity) —
+    regular configs use :func:`cross_entropy` (the documented
+    single-softmax deviation, models/cnn_usps.py)."""
+    probs = jax.nn.softmax(outputs, axis=-1)
+    logp = jax.nn.log_softmax(probs, axis=-1)
+    nll = -jnp.take_along_axis(logp, y[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    return _weighted_mean(nll, w)
+
+
 def mse(outputs: jax.Array, y: jax.Array, w=None) -> jax.Array:
     per = jnp.mean((outputs - y) ** 2, axis=tuple(range(1, outputs.ndim)))
     return _weighted_mean(per, w)
@@ -111,6 +126,7 @@ def weighted_bce_with_logits(
 
 losses: Dict[str, Callable] = {
     "cross_entropy": cross_entropy,
+    "cross_entropy_double_softmax": cross_entropy_double_softmax,
     "mse": mse,
     "bce_with_logits": bce_with_logits,
     "kl_onehot": kl_onehot,
