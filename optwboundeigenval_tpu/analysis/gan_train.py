@@ -42,13 +42,24 @@ def train_cgan(
     d_iter: int = 1,
     smooth: float = 0.0,
     swap: float = 0.0,
+    rand: float = 0.0,
+    weight_decay: float = 0.0,
     cosine_schedule: bool = False,
     seed: int = 0,
     log_every: int = 10,
+    sample_interval: int = 0,
+    sample_dir: str = "./images",
 ):
-    """Returns (g_params, g_state, d_params, history).  ``smooth``
-    replaces the real label 1.0 by 1-smooth; ``swap`` randomly flips
-    real/fake targets with that probability (gan.py tricks)."""
+    """Returns (g_params, g_state, d_params, history).
+
+    Label tricks (gan.py:174-184): ``rand`` draws the real target from
+    U(1-rand, 1) and the fake target from U(0, rand) per example;
+    ``smooth`` is the deterministic variant (real target 1-smooth);
+    ``swap`` exchanges the whole batch's real/fake targets with that
+    probability (ONE draw per batch, matching the reference).
+    ``weight_decay`` is Adam weight decay (gan.py:30 --weight_decay);
+    ``sample_interval`` > 0 saves a generator sample grid npz every
+    that many batches (gan.py:36 --sample_interval / sample_image)."""
     rng = jax.random.PRNGKey(seed)
     rng, gk, dk = jax.random.split(rng, 3)
     z0 = jnp.zeros((batch_size, latent_dim))
@@ -68,8 +79,15 @@ def train_cgan(
                                                                batch_size, 1))
     else:
         sched = lr
-    g_tx = optax.adam(sched, b1=b1, b2=b2)
-    d_tx = optax.adam(sched, b1=b1, b2=b2)
+
+    def make_tx():
+        if weight_decay > 0:
+            return optax.adamw(sched, b1=b1, b2=b2,
+                               weight_decay=weight_decay)
+        return optax.adam(sched, b1=b1, b2=b2)
+
+    g_tx = make_tx()
+    d_tx = make_tx()
     g_opt = g_tx.init(g_params)
     d_opt = d_tx.init(d_params)
 
@@ -88,14 +106,24 @@ def train_cgan(
 
     @jax.jit
     def step(g_params, g_state, g_opt, d_params, d_opt, real, labels, rng):
-        rng, zk, lk, dk1, dk2, sk = jax.random.split(rng, 6)
+        rng, zk, lk, dk1, dk2, sk, rk1, rk2 = jax.random.split(rng, 8)
         z = jax.random.normal(zk, (batch_size, latent_dim))
         gen_labels = jax.random.randint(lk, (batch_size,), 0, n_classes)
 
-        valid = jnp.full((batch_size, 1), 1.0 - smooth)
-        fake = jnp.zeros((batch_size, 1))
+        if rand > 0:
+            # per-example fudged targets (gan.py:174-178)
+            valid = jax.random.uniform(
+                rk1, (batch_size, 1), minval=1.0 - rand, maxval=1.0
+            )
+            fake = jax.random.uniform(
+                rk2, (batch_size, 1), minval=0.0, maxval=rand
+            )
+        else:
+            valid = jnp.full((batch_size, 1), 1.0 - smooth)
+            fake = jnp.zeros((batch_size, 1))
         if swap > 0:
-            flip = jax.random.bernoulli(sk, swap, (batch_size, 1))
+            # whole-batch swap with probability ``swap`` (gan.py:183-184)
+            flip = jax.random.bernoulli(sk, swap)
             valid_d = jnp.where(flip, fake, valid)
             fake_d = jnp.where(flip, valid, fake)
         else:
@@ -131,9 +159,23 @@ def train_cgan(
 
         return g_params, new_g_state, g_opt, d_params, d_opt, g_loss, d_loss, rng
 
+    def save_sample(batches_done):
+        # sample grid: one row per class (reference sample_image,
+        # gan.py:149-160), saved as npz (no PIL dependency)
+        k = jax.random.PRNGKey(seed + batches_done)
+        zs = jax.random.normal(k, (n_classes * n_classes, latent_dim))
+        ls = jnp.repeat(jnp.arange(n_classes), n_classes)
+        imgs = generator.apply(
+            {"params": g_params, **g_state}, zs, ls, train=False
+        )
+        os.makedirs(sample_dir, exist_ok=True)
+        np.savez(os.path.join(sample_dir, f"{batches_done}.npz"),
+                 imgs=np.asarray(imgs), labels=np.asarray(ls))
+
     history = []
     nb = len(x) // batch_size
     order_rng = np.random.default_rng(seed)
+    batches_done = 0
     for epoch in range(n_epochs):
         order = order_rng.permutation(len(x))[: nb * batch_size]
         g_losses, d_losses = [], []
@@ -146,6 +188,9 @@ def train_cgan(
             )
             g_losses.append(float(gl))
             d_losses.append(float(dl))
+            batches_done += 1
+            if sample_interval and batches_done % sample_interval == 0:
+                save_sample(batches_done)
         history.append((epoch, float(np.mean(d_losses)),
                         float(np.mean(g_losses))))
         if epoch % log_every == 0:

@@ -34,6 +34,21 @@ class EntropySGDState(NamedTuple):
     t: jax.Array  # outer step count
     mdw: Any  # outer momentum buffer
     lr: jax.Array  # outer learning rate (scheduler-adjustable)
+    mf: jax.Array = None  # last closure loss (optim.py:24 ``mf``)
+    merr: jax.Array = None  # last closure error % (optim.py:24 ``merr``)
+
+
+def accuracy(output, target, topk=(1,)):
+    """precision@k percentages — the reference's closure helper
+    (optim.py:107-121) used to report err% = 100 - prec1
+    (opt.py:673-687)."""
+    maxk = max(topk)
+    pred = jnp.argsort(output, axis=-1)[:, ::-1][:, :maxk]  # (B, maxk)
+    correct = pred == target[:, None]
+    return [
+        100.0 * jnp.mean(jnp.any(correct[:, :k], axis=1).astype(jnp.float32))
+        for k in topk
+    ]
 
 
 def EntropySGD(
@@ -55,6 +70,8 @@ def EntropySGD(
             t=jnp.zeros((), jnp.int32),
             mdw=jax.tree.map(jnp.zeros_like, params),
             lr=jnp.asarray(lr, jnp.float32),
+            mf=jnp.zeros((), jnp.float32),
+            merr=jnp.zeros((), jnp.float32),
         )
 
     def momentum_step(dw, mdw, w):
@@ -68,10 +85,17 @@ def EntropySGD(
                 dw = mdw
         return dw, mdw
 
-    def step(direction, state, params, *, grad_fn=None, rng=None, **_):
+    def step(direction, state, params, *, grad_fn=None, rng=None,
+             err_fn=None, **_):
         assert grad_fn is not None and rng is not None, (
             "EntropySGD requires grad_fn (inner SGLD) and rng (noise)"
         )
+        # the reference closure's (mf, merr) — loss and error % at the
+        # anchor, recorded per step (optim.py:24, opt.py:673-687)
+        if err_fn is not None:
+            mf, merr = err_fn(params)
+        else:
+            mf, merr = state.mf, state.merr
         g_scope = g0 * (1 + g1) ** state.t.astype(jnp.float32)
         noise_scale = eps / jnp.sqrt(0.5 * inner_lr)
         wc = params  # anchor
@@ -118,6 +142,8 @@ def EntropySGD(
         dw, mdw = momentum_step(outer_grad, state.mdw, wc)
         new_params = jax.tree.map(lambda p, d: p - state.lr * d, wc, dw)
         return new_params, EntropySGDState(t=state.t + 1, mdw=mdw,
-                                           lr=state.lr)
+                                           lr=state.lr, mf=mf, merr=merr)
 
-    return Optimizer(name="EntropySGD", init=init, step=step, tx=None)
+    opt = Optimizer(name="EntropySGD", init=init, step=step, tx=None)
+    object.__setattr__(opt, "wants_err", True)
+    return opt

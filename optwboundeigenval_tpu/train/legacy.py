@@ -70,6 +70,46 @@ def train_epoch(task, params, model_state, opt, opt_state, loader, rng):
     return params, model_state, opt_state, meter.avg
 
 
+def train2_epoch(model, params, model_state, opt, opt_state, loader, rng,
+                 kl_weight: float = 0.0):
+    """One VAE training epoch — the reference ``train2`` loop
+    (dcnn.py:453-487): the model returns ``(output, mu, logvar)`` and
+    the criterion is the W-BCE + KL VLoss (models/vae.vae_loss).
+    Returns (params, model_state, opt_state, avg_loss)."""
+    import jax.numpy as jnp
+
+    from optwboundeigenval_tpu.models.vae import vae_loss
+
+    has_batch_stats = bool(model_state)
+
+    @jax.jit
+    def step(params, model_state, opt_state, batch, rng):
+        def loss_fn(p, b):
+            variables = {"params": p, **model_state}
+            kw = dict(mutable=["batch_stats"]) if has_batch_stats else {}
+            out = model.apply(
+                variables, b["x"], train=True, rngs={"reparam": rng}, **kw
+            )
+            outs = out[0] if has_batch_stats else out
+            return vae_loss(outs, b["y"], b.get("w"), kl_weight=kl_weight)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        new_params, new_opt_state = opt.step(
+            grads, opt_state, params,
+            grad_fn=lambda p: jax.value_and_grad(loss_fn)(p, batch), rng=rng,
+        )
+        return new_params, new_opt_state, loss
+
+    meter = AverageMeter()
+    for data in loader:
+        batch = {k: jnp.asarray(v) for k, v in data.items()}
+        rng, r = jax.random.split(rng)
+        params, opt_state, loss = step(params, model_state, opt_state, batch, r)
+        n = int(np.sum(np.asarray(data["w"]) > 0))
+        meter.update(float(loss), n)
+    return params, model_state, opt_state, meter.avg
+
+
 def validate(task, params, model_state, loader):
     """Average eval loss + accuracy over a loader (dcnn.py validate)."""
     import jax.numpy as jnp
@@ -93,6 +133,33 @@ def validate(task, params, model_state, loader):
         losses.update(float(loss), nreal)
         accs.update(acc, nreal)
     return losses.avg, accs.avg
+
+
+def test(task, params, model_state, loader) -> Tuple:
+    """Standalone sigmoid test pass — the reference legacy ``test``
+    (dcnn.py:548-579): collect sigmoid outputs over the loader, compute
+    per-class ROC-AUC and its mean.  Returns
+    ``(roc, avgroc, (labels, outputs))``."""
+    import jax.numpy as jnp
+    from sklearn.metrics import roc_auc_score
+
+    @jax.jit
+    def fwd(params, model_state, batch):
+        out = task.predict(params, model_state, batch)
+        return jax.nn.sigmoid(out)
+
+    outputs, labels = [], []
+    for data in loader:
+        batch = {k: jnp.asarray(v) for k, v in data.items()}
+        out = np.asarray(fwd(params, model_state, batch))
+        nreal = int(np.sum(np.asarray(data["w"]) > 0))
+        outputs.append(out[:nreal])
+        labels.append(np.asarray(data["y"])[:nreal])
+    outputs = np.concatenate(outputs)
+    labels = np.concatenate(labels)
+    roc = roc_auc_score(labels, outputs, average=None)
+    roc = np.atleast_1d(np.asarray(roc))
+    return roc, float(roc.mean()), (labels, outputs)
 
 
 def save_checkpoint_copy_on_best(

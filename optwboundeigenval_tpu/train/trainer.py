@@ -317,6 +317,27 @@ class SpectralTrainer:
                 }
 
             grad_fn = lambda p: jax.value_and_grad(loss_fn)(p, batch)
+            err_fn = None
+            if getattr(self.optimizer, "wants_err", False):
+                # EntropySGD closure protocol (opt.py:673-687): report
+                # (loss, err%) on the current batch alongside the step
+                def err_fn(p):
+                    out = self.task.predict(p, model_state, batch)
+                    loss_val = self.task.loss(out, batch["y"], batch.get("w"))
+                    y, w = batch["y"], batch.get("w")
+                    if out.ndim > 1 and y.ndim > 1:
+                        # multi-label (W_BCE path, opt.py:677-681)
+                        correct = jnp.mean(
+                            ((out > 0) == (y > 0.5)).astype(jnp.float32), axis=-1
+                        )
+                    else:
+                        correct = (jnp.argmax(out, -1) == y).astype(jnp.float32)
+                    if w is not None:
+                        acc = jnp.sum(correct * w) / jnp.maximum(jnp.sum(w), 1e-12)
+                    else:
+                        acc = jnp.mean(correct)
+                    return loss_val, 100.0 * (1.0 - acc)
+
             stats_fn = None
             if getattr(self.optimizer, "needs_stats", False):
                 from optwboundeigenval_tpu.ops import kfac as kfac_ops
@@ -330,10 +351,20 @@ class SpectralTrainer:
                     )
                     return caps
 
+            opt_kwargs = dict(grad_fn=grad_fn, rng=rng_opt, stats_fn=stats_fn)
+            if err_fn is not None:
+                opt_kwargs["err_fn"] = err_fn
             new_params, new_opt_state = self.optimizer.step(
-                direction, opt_state, params, grad_fn=grad_fn, rng=rng_opt,
-                stats_fn=stats_fn,
+                direction, opt_state, params, **opt_kwargs
             )
+            if hasattr(new_opt_state, "merr") and err_fn is not None:
+                # surfaced per-batch: the closure loss / err% the
+                # reference records (optim.py:24)
+                metrics = {
+                    **metrics,
+                    "opt_mf": new_opt_state.mf,
+                    "opt_merr": new_opt_state.merr,
+                }
 
             # BN running stats update (train_loss path; reference trains
             # in train mode so stats advance every batch)

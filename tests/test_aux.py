@@ -150,3 +150,52 @@ def test_golden_run_regression(tmp_path):
         results.append((tr.f, tr.rho))
     np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-5)
     np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-4)
+
+
+def test_legacy_train2_vae_and_test(tmp_path):
+    """train2 VAE loop + standalone sigmoid test (dcnn.py:453-487,
+    548-579)."""
+    from optwboundeigenval_tpu.models.vae import VAE
+    from optwboundeigenval_tpu.models.mlp_forest import ForestNet as Enc
+    from optwboundeigenval_tpu.optim import sgd as make_sgd
+    from optwboundeigenval_tpu.train import Task, legacy
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 12)).astype(np.float32)
+    y = (rng.random(size=(64, 4)) > 0.5).astype(np.float32)
+    loader = ArrayLoader(x, y, 32)
+
+    model = VAE(encoder=Enc(hidden=8, num_classes=8), znum=6, hnum=8,
+                outnum=4)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)},
+        jnp.asarray(x[:32]), train=True,
+    )
+    params = variables["params"]
+    ms = {k: v for k, v in variables.items() if k != "params"}
+    opt = make_sgd(0.05)
+    opt_state = opt.init(params)
+    losses = []
+    key = jax.random.PRNGKey(2)
+    for _ in range(3):
+        params, ms, opt_state, avg = legacy.train2_epoch(
+            model, params, ms, opt, opt_state, loader, key
+        )
+        losses.append(avg)
+    assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]
+
+    # standalone legacy test(): per-class ROC-AUC on sigmoid outputs
+    class _Wrap:
+        """Minimal task-like facade: predict -> recon logits."""
+
+        @staticmethod
+        def predict(p, m, batch):
+            out, _, _ = model.apply({"params": p, **m}, batch["x"],
+                                    train=False)
+            return out
+
+    roc, avgroc, (labels, outputs) = legacy.test(_Wrap, params, ms, loader)
+    assert roc.shape == (4,)
+    assert 0.0 <= avgroc <= 1.0
+    assert labels.shape == outputs.shape == (64, 4)

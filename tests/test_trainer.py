@@ -103,8 +103,25 @@ def test_entropy_sgd_optimizer(tmp_path, data):
         optimizer=EntropySGD(lr=0.1, L=5, g0=1e-2),
         max_iter=2,
     )
+    # closure protocol (opt.py:673-687): step metrics surface the
+    # closure loss mf and error % merr, recorded in the state too
+    m = tr.train_step(next(iter(train_loader)))
+    assert np.isfinite(float(m["opt_mf"]))
+    assert 0.0 <= float(m["opt_merr"]) <= 100.0
     tr.train(train_loader=train_loader)
     assert np.isfinite(tr.f)
+    assert np.isfinite(float(tr.opt_state.merr))
+
+
+def test_entropy_sgd_accuracy_helper():
+    from optwboundeigenval_tpu.optim.entropy_sgd import accuracy
+    import jax.numpy as jnp
+
+    out = jnp.asarray([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1], [0.4, 0.1, 0.5]])
+    y = jnp.asarray([1, 0, 0])
+    prec1, prec2 = accuracy(out, y, topk=(1, 2))
+    np.testing.assert_allclose(float(prec1), 100.0 * 2 / 3, rtol=1e-6)
+    np.testing.assert_allclose(float(prec2), 100.0, rtol=1e-6)
 
 
 def test_adam_and_mu_schedule(tmp_path, data):
