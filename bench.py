@@ -1,23 +1,31 @@
-"""Headline benchmark: Hessian-vector-product throughput per chip.
+"""Headline benchmark: big-model Hessian-vector-product throughput with
+measured MFU.
 
-HVPs dominate the reference's training cost (SURVEY.md §3.1: one batch
-with active regularizer = #pow_iters + 3 backwards), so HVPs/sec/chip
-is the north-star metric (BASELINE.json).
+HVPs dominate spectral training cost (SURVEY.md §3.1: one batch with
+active regularizer = #pow_iters + 3 backwards).  Round 1 headlined a
+tiny-CNN number that was pure dispatch overhead; the headline is now
+DenseNet-40-12 (the reference's CIFAR workhorse, densenet.py) at its
+throughput-optimal configuration on this chip (batch 128, bf16 compute
+with f32 params), with FLOPs from XLA's cost model of the compiled
+program and MFU against the chip's bf16 MXU peak — a roofline
+statement, not a wall-clock anecdote.
 
-Baseline: the reference implementation pattern (PyTorch CPU, float64,
-cached create-graph gradient, repeated ``autograd.grad`` products —
-opt.py:77-108) measured on this machine: **24.27 HVPs/sec** on the
-USPS CNN (ndim=14794) at batch 128.  Target: >= 10x (BASELINE.md).
+Baseline: the reference implementation pattern (PyTorch CPU float64,
+cached create-graph gradient, repeated ``autograd.grad`` products,
+opt.py:77-108) measured on this machine for the SAME model:
+**0.16 HVPs/sec** at batch 32 (benchmarks/
+measure_torch_densenet_baseline.py).  ``vs_baseline`` compares
+per-EXAMPLE curvature throughput (HVPs/sec x batch), which normalizes
+the batch-size difference.
 
-This benchmark measures the same computation TPU-native: one
-``jax.linearize`` of the loss gradient, then repeated linear HVP calls
-inside a ``lax.scan`` under jit.  Measurement detail: on the tunneled
-TPU platform ``block_until_ready`` does not reliably block, and every
-device->host transfer pays a large fixed tunnel RTT, so throughput is
-computed from the *marginal* cost between two scan lengths with a
-forced host materialization — fixed overhead cancels.
+Measurement: on the tunneled TPU ``block_until_ready`` does not
+reliably block and device->host transfers pay a fixed tunnel RTT, so
+throughput is the *marginal* cost between two scan lengths with forced
+host materialization.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}
+(extra keys: mfu_pct_bf16_peak, tflops_per_sec, usps_hvps_per_sec for
+round-1 continuity).
 """
 
 from __future__ import annotations
@@ -29,10 +37,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TORCH_CPU_BASELINE_HVPS_PER_SEC = 24.27  # measured 2026-08-16, see docstring
+# measured 2026-08-16 (see module docstring / benchmarks/)
+TORCH_CPU_DENSENET40_HVPS_PER_SEC = 0.16
+TORCH_CPU_DENSENET40_BATCH = 32
+TORCH_CPU_USPS_BASELINE_HVPS_PER_SEC = 24.27
+
+BATCH = 128
 
 
-def main() -> None:
+def usps_hvps_per_sec() -> float:
+    """Round-1 continuity metric: tiny-CNN HVP/s (dispatch-bound)."""
     from optwboundeigenval_tpu.models import CNNUSPS
     from optwboundeigenval_tpu.ops import curvature
     from optwboundeigenval_tpu.train import Task
@@ -46,10 +60,7 @@ def main() -> None:
         "w": jnp.ones(128, jnp.float32),
     }
     params, _ = task.init(jax.random.PRNGKey(0), batch["x"])
-
-    def loss_fn(p, b):
-        out = task.model.apply({"params": p}, b["x"], train=True)
-        return task.loss(out, b["y"], b["w"])
+    loss_fn = task.loss_fn({}, None)
 
     def make_run(n):
         @jax.jit
@@ -58,8 +69,6 @@ def main() -> None:
 
             def body(v, _):
                 hv = hvp_fn(v)
-                # normalize so the loop is a real power iteration (keeps
-                # every step dependent on the previous one)
                 nrm = jnp.sqrt(
                     sum(jnp.vdot(x, x) for x in jax.tree_util.tree_leaves(hv))
                 )
@@ -70,30 +79,42 @@ def main() -> None:
         return run
 
     v0 = tree_uniform_like(params)
-    n_small, n_large = 400, 1600
-
-    def timed(n, reps=3):
+    times = {}
+    for n in (400, 1600):
         run = make_run(n)
-        np.asarray(run(params, batch, v0)[1])  # compile + materialize
+        np.asarray(run(params, batch, v0)[1])
         best = float("inf")
-        for _ in range(reps):
+        for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(run(params, batch, v0)[1])  # forces completion
+            np.asarray(run(params, batch, v0)[1])
             best = min(best, time.perf_counter() - t0)
-        return best
+        times[n] = best
+    return 1200 / max(times[1600] - times[400], 1e-9)
 
-    t_small = timed(n_small)
-    t_large = timed(n_large)
-    hvps_per_sec = (n_large - n_small) / max(t_large - t_small, 1e-9)
+
+def main() -> None:
+    from benchmarks.bench_densenet_hvp import measure
+
+    dn = measure(batch=BATCH, dtype=jnp.bfloat16)
+    examples_per_sec = dn["hvps_per_sec"] * BATCH
+    baseline_examples = (
+        TORCH_CPU_DENSENET40_HVPS_PER_SEC * TORCH_CPU_DENSENET40_BATCH
+    )
+    usps = usps_hvps_per_sec()
 
     print(
         json.dumps(
             {
-                "metric": "hvp_throughput_usps_cnn_batch128",
-                "value": round(hvps_per_sec, 2),
-                "unit": "HVPs/sec/chip",
-                "vs_baseline": round(
-                    hvps_per_sec / TORCH_CPU_BASELINE_HVPS_PER_SEC, 2
+                "metric": "densenet40_hvp_example_throughput_bf16_batch128",
+                "value": round(examples_per_sec, 1),
+                "unit": "curvature examples/sec/chip",
+                "vs_baseline": round(examples_per_sec / baseline_examples, 1),
+                "hvps_per_sec": dn["hvps_per_sec"],
+                "tflops_per_sec": dn["tflops_per_sec"],
+                "mfu_pct_bf16_peak": dn["mfu_pct_bf16_peak"],
+                "usps_hvps_per_sec": round(usps, 1),
+                "usps_vs_torch_cpu": round(
+                    usps / TORCH_CPU_USPS_BASELINE_HVPS_PER_SEC, 1
                 ),
             }
         )

