@@ -93,6 +93,7 @@ class SpectralTrainer:
         mem_track: bool = False,
         remat: bool = False,
         hvp_micro: int = 0,
+        profile_dir: Optional[str] = None,
         log_dir: str = "./logs",
         model_dir: str = "./models",
     ):
@@ -174,6 +175,12 @@ class SpectralTrainer:
         # HVPs/grads over micro-batches (ops/curvature.hvp_microbatched)
         self.remat = remat
         self.hvp_micro = int(hvp_micro)
+        # --profile: capture a jax.profiler trace of the FIRST epoch
+        # into this directory (viewable in TensorBoard/XProf/Perfetto) —
+        # the trace-level upgrade of the reference's aTime0/1/2 stage
+        # timers (opt.py:70, 188-190); the stage-time table itself is in
+        # the verbose log (timers.report)
+        self.profile_dir = profile_dir
 
     def mem_check(self):
         """Running max of device memory in use — the TPU equivalent of
@@ -498,6 +505,18 @@ class SpectralTrainer:
         return metrics
 
     def iter_epoch(self, train_loader: ArrayLoader) -> None:
+        import contextlib
+
+        trace_ctx = contextlib.nullcontext()
+        if self.profile_dir and self.i == 0:
+            try:
+                trace_ctx = jax.profiler.trace(self.profile_dir)
+            except Exception as e:  # pragma: no cover - platform-dependent
+                print(f"profiler trace unavailable: {e}")
+        with trace_ctx:
+            self._iter_epoch_body(train_loader)
+
+    def _iter_epoch_body(self, train_loader: ArrayLoader) -> None:
         mu = self.mu(self.i) if callable(self.mu) else self.mu
         eval_step = self._get("eval_step", self._build_eval_step)
         rho_step = self._get("rho_step", self._build_rho_step)
@@ -825,22 +844,29 @@ class SpectralTrainer:
         for j, data in enumerate(loader):
             batch = self._put_batch(data)
             self.rng, r_rng = jax.random.split(self.rng)
-            t0 = time.time()
-            eig = jax.block_until_ready(
-                rho_step(
-                    self.params, self.model_state, self.v, batch, r_rng,
-                    self._precond_state,
-                )
+            # timing: ``block_until_ready`` does not reliably block over
+            # the tunneled TPU — force a host materialization instead.
+            # The measured time still includes one fixed device->host
+            # RTT (~25-45 ms on the tunnel); it cancels when comparing
+            # rows and is negligible off-tunnel.
+            t0 = time.perf_counter()
+            eig = rho_step(
+                self.params, self.model_state, self.v, batch, r_rng,
+                self._precond_state,
             )
-            dt = time.time() - t0
+            host = jax.device_get(
+                {"rho": eig.rho, "norm": eig.norm, "iters": eig.iters,
+                 "res_change": eig.res_change}
+            )
+            dt = time.perf_counter() - t0
             self.v = eig.v
             stats.append(
                 [
                     j,
-                    float(eig.rho),
-                    float(eig.norm),
-                    int(eig.iters),
-                    float(eig.res_change),
+                    float(host["rho"]),
+                    float(host["norm"]),
+                    int(host["iters"]),
+                    float(host["res_change"]),
                     dt,
                 ]
             )
