@@ -113,7 +113,7 @@ def _batch_weight(batch):
 
 
 def hvp_microbatched(
-    loss_fn: LossFn, params, batch, v, num_micro: int, *, use_pallas: bool = True
+    loss_fn: LossFn, params, batch, v, num_micro: int, *, use_pallas: bool = False
 ):
     """Hessian-vector product accumulated over micro-batches.
 
@@ -126,9 +126,13 @@ def hvp_microbatched(
     — e.g. the per-class-normalized W-BCE — decompose only
     approximately.)
 
-    The running accumulation is a fused Pallas axpy per leaf
-    (ops/pallas_kernels.axpy_accumulate) when ``use_pallas``; the whole
-    loop is a ``lax.scan`` so one micro-batch graph is compiled.
+    The whole loop is a ``lax.scan`` so one micro-batch graph is
+    compiled.  ``use_pallas`` switches the running accumulation to a
+    Pallas axpy per leaf (ops/pallas_kernels.axpy_accumulate) —
+    measured SLOWER than XLA's fused accumulate on the realistic shape
+    (DenseNet121@64px batch 64, micro 4: 73.4 vs 95.4 micro-HVP/s,
+    0.77x; RESULTS.md round 2), so the XLA path is the default and the
+    kernel is kept as an experiment.
 
     This realizes the micro-batched HVP solver design (SURVEY.md §7 /
     BASELINE.json north star); the reference caps memory by capping the

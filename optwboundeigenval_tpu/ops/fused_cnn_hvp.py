@@ -1,6 +1,14 @@
-"""Fully-fused Pallas HVP kernel for the USPS CNN workload.
+"""EXPERIMENTAL (archived, not on any production path): fully-fused
+Pallas HVP kernel for the USPS CNN workload.
 
-Why: the USPS CNN HVP is the reference's hottest operation (every
+Status (round-2 Pallas decision, RESULTS.md): math validated against
+autodiff in interpret mode, but the Mosaic toolchain OOMs compiling the
+unrolled kernel, and every other measured Pallas candidate in this repo
+(fused epilogue, micro-batch axpy accumulate) LOSES to XLA's fusion on
+realistic shapes — so Pallas investment is stopped here and this file
+is kept solely as the fusion blueprint for a future toolchain.
+
+Why it was attempted: the USPS CNN HVP is the reference's hottest operation (every
 power-iteration step, SURVEY.md §3.1), and at this model size it is
 pure per-op overhead on TPU — ~12 us per non-fusing conv/pool op,
 ~155 us per HVP, <1% of compute roofline.  This kernel computes the

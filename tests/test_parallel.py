@@ -132,3 +132,45 @@ def test_trainer_with_mesh(tmp_path, eight_devices):
     )
     tr.train(train_loader=loader)
     assert np.isfinite(tr.f) and np.isfinite(tr.h)
+
+
+def test_host_shard_partitions_exactly():
+    """Multi-host input pipeline semantics (SURVEY §2.9): each host's
+    strided shard is disjoint and the union covers the dataset exactly
+    — validated with explicit (process_index, process_count) pairs
+    (real multi-host would pass jax.process_index()/count())."""
+    x = np.arange(100, dtype=np.float32).reshape(100, 1)
+    y = np.arange(100, dtype=np.int32)
+    n_hosts = 4
+    seen = []
+    for i in range(n_hosts):
+        loader = ArrayLoader(x, y, batch_size=8, host_shard=(i, n_hosts))
+        rows = []
+        for b in loader:
+            w = np.asarray(b["w"])
+            rows.extend(np.asarray(b["y"])[w > 0].tolist())
+        assert len(rows) == 25
+        seen.extend(rows)
+    assert sorted(seen) == list(range(100))
+
+
+def test_init_distributed_noop_single_process():
+    """init_distributed is a no-op without a coordinator (single
+    process); with one it delegates to jax.distributed.initialize."""
+    from optwboundeigenval_tpu.parallel import mesh as meshlib
+
+    meshlib.init_distributed()  # must not raise or touch the backend
+    called = {}
+
+    orig = jax.distributed.initialize
+    try:
+        jax.distributed.initialize = lambda **kw: called.update(kw)
+        meshlib.init_distributed("10.0.0.1:1234", num_processes=8,
+                                 process_id=3)
+    finally:
+        jax.distributed.initialize = orig
+    assert called == {
+        "coordinator_address": "10.0.0.1:1234",
+        "num_processes": 8,
+        "process_id": 3,
+    }
