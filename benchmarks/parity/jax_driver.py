@@ -34,31 +34,19 @@ def _force_platform(platform):
 
 
 def convert_forest(sd):
-    from optwboundeigenval_tpu.utils.torch_interop import dense_from_torch
+    from optwboundeigenval_tpu.utils.torch_interop import (
+        convert_forestnet_state_dict,
+    )
 
-    return {
-        name: dense_from_torch(sd[f"{name}.weight"], sd[f"{name}.bias"])
-        for name in ("fc1", "fc2", "fc3")
-    }
+    return convert_forestnet_state_dict(sd)
 
 
 def convert_usps(sd):
     from optwboundeigenval_tpu.utils.torch_interop import (
-        conv_from_torch,
-        dense_after_flatten_from_torch,
-        dense_from_torch,
+        convert_cnnusps_state_dict,
     )
 
-    return {
-        "Conv_0": conv_from_torch(sd["conv1.weight"], sd["conv1.bias"]),
-        "Conv_1": conv_from_torch(sd["conv2.weight"], sd["conv2.bias"]),
-        "Conv_2": conv_from_torch(sd["conv3.weight"], sd["conv3.bias"]),
-        # torch flattens the (32, 2, 2) CHW map; flax flattens (2, 2, 32)
-        "Dense_0": dense_after_flatten_from_torch(
-            sd["fc1.weight"], sd["fc1.bias"], chw=(32, 2, 2)
-        ),
-        "Dense_1": dense_from_torch(sd["fc2.weight"], sd["fc2.bias"]),
-    }
+    return convert_cnnusps_state_dict(sd)
 
 
 class _PinnedRng:

@@ -47,3 +47,52 @@ def restore_like(template, payload):
     ``template`` — the analog of the reference's tolerant
     ``load_state`` (opt.py:1041-1059) for structured pytrees."""
     return serialization.from_state_dict(template, payload)
+
+
+# torch state_dict -> params-tree converters per reference architecture
+# (layout mapping lives in utils/torch_interop; backbone walkers in
+# scripts/convert_torch_weights)
+def _torch_converters():
+    from optwboundeigenval_tpu.utils.torch_interop import (
+        convert_cnnusps_state_dict,
+        convert_forestnet_state_dict,
+    )
+
+    out = {"forest": convert_forestnet_state_dict,
+           "usps_cnn": convert_cnnusps_state_dict}
+    try:
+        from scripts.convert_torch_weights import CONVERTERS
+
+        out.update(CONVERTERS)
+    except ImportError:  # pragma: no cover - installed without scripts/
+        pass
+    return out
+
+
+def load_torch_checkpoint(path: str, arch: str):
+    """Reference-checkpoint interop: read a torch ``.pt`` checkpoint in
+    the reference's save format (``state_dict`` possibly nested,
+    ``module.``/``encoder.`` prefixes, legacy dotted keys —
+    opt.py:765-769, opt.py:1041-1059) and return the converted flax
+    tree for ``arch``.
+
+    ``arch``: 'forest' | 'usps_cnn' (full params trees) or a backbone
+    name from scripts/convert_torch_weights (densenet121/161/169/201,
+    vgg16_bn, alexnet, resnet50 — '/'-joined ``params/...``/
+    ``batch_stats/...`` mapping for ``backbones.load_pretrained_npz``-
+    style overlay).  Requires torch (present in the build image; the
+    compute path stays torch-free)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = dict(sd)
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = dict(sd["state_dict"])  # reference nesting (opt.py:1050)
+    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+          for k, v in sd.items()}
+    converters = _torch_converters()
+    if arch not in converters:
+        raise ValueError(f"unknown arch {arch!r}; have {sorted(converters)}")
+    return converters[arch](sd)

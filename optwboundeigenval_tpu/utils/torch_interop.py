@@ -69,6 +69,52 @@ def dense_after_flatten_from_torch(
     return out
 
 
+def normalize_state_dict_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """The reference's tolerant checkpoint-key cleanup (opt.py:1041-1059,
+    dnet.py:328-343): unwrap ``{'state_dict': ...}`` nesting, strip
+    DataParallel ``module.`` prefixes, rename ``encoder.`` to
+    ``features.`` and legacy dotted layer names (``norm.1`` → ``norm1``)."""
+    import re
+
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]
+    pat = re.compile(r"(norm|conv|relu|pool)\.(\d+)")
+    out = {}
+    for k, v in sd.items():
+        k = k.removeprefix("module.")
+        if k.startswith("encoder."):
+            k = "features." + k.removeprefix("encoder.")
+        k = pat.sub(lambda m: m.group(1) + m.group(2), k)
+        out[k] = np.asarray(v)
+    return out
+
+
+def convert_forestnet_state_dict(sd) -> Dict[str, dict]:
+    """Reference Forest ``Net`` state_dict (forest_data.py:75-89) →
+    models.ForestNet params tree."""
+    sd = normalize_state_dict_keys(sd)
+    return {
+        name: dense_from_torch(sd[f"{name}.weight"], sd[f"{name}.bias"])
+        for name in ("fc1", "fc2", "fc3")
+    }
+
+
+def convert_cnnusps_state_dict(sd) -> Dict[str, dict]:
+    """Reference USPS ``CNN`` state_dict (usps_data.py:298-336) →
+    models.CNNUSPS params tree (NHWC layouts; the flattened fc1 input
+    is permuted from torch's CHW order to flax's HWC)."""
+    sd = normalize_state_dict_keys(sd)
+    return {
+        "Conv_0": conv_from_torch(sd["conv1.weight"], sd["conv1.bias"]),
+        "Conv_1": conv_from_torch(sd["conv2.weight"], sd["conv2.bias"]),
+        "Conv_2": conv_from_torch(sd["conv3.weight"], sd["conv3.bias"]),
+        "Dense_0": dense_after_flatten_from_torch(
+            sd["fc1.weight"], sd["fc1.bias"], chw=(32, 2, 2)
+        ),
+        "Dense_1": dense_from_torch(sd["fc2.weight"], sd["fc2.bias"]),
+    }
+
+
 def dense_to_torch(kernel: np.ndarray) -> np.ndarray:
     """flax Dense kernel (in, out) -> torch Linear weight (out, in)."""
     return np.ascontiguousarray(kernel.T)

@@ -1,0 +1,166 @@
+"""torch->npz pretrained-converter tests: a RANDOM torch densenet121
+(the reference's own dnet.py fork, executed as-is) is converted and
+overlaid onto the flax DenseNetFeatures; feature maps must agree.
+
+Closes the round-1 'pretrained trunks unusable in practice' gap
+(dnet.py:328-343 URL loading becomes offline conversion)."""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference checkout absent"
+)
+
+
+@pytest.fixture(scope="module")
+def torch_densenet():
+    from benchmarks.parity import _refenv
+
+    _refenv.install()
+    torch = pytest.importorskip("torch")
+    import dnet
+
+    torch.manual_seed(0)
+    return torch, dnet.densenet121(pretrained=False)
+
+
+def test_densenet121_feature_agreement(torch_densenet, tmp_path):
+    torch, model = torch_densenet
+    import jax
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+
+    from optwboundeigenval_tpu.models.backbones import (
+        densenet121_features,
+        load_pretrained_npz,
+    )
+    from scripts.convert_torch_weights import convert_densenet_features
+
+    sd = {k: v.numpy().copy() for k, v in model.state_dict().items()}
+    out = convert_densenet_features(sd, "densenet121")
+    npz = tmp_path / "dn121.npz"
+    np.savez(npz, **out)
+
+    feat = densenet121_features()
+    x = np.random.default_rng(0).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    variables = feat.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    variables = load_pretrained_npz(dict(variables), str(npz))
+    y_flax = feat.apply(variables, jnp.asarray(x), train=False)
+
+    model.eval()
+    with torch.no_grad():
+        t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        # dcnn wrappers take model.features then relu (dcnn.py:269-278);
+        # DenseNetFeatures applies the final relu internally
+        y_torch = F.relu(model.features(t)).numpy().transpose(0, 2, 3, 1)
+
+    assert y_flax.shape == y_torch.shape
+    np.testing.assert_allclose(
+        np.asarray(y_flax), y_torch, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_loader_tolerates_missing_and_mismatched(torch_densenet, tmp_path):
+    """load_pretrained_npz keeps the random init for absent/mismatched
+    keys — the reference's tolerant loading (opt.py:1041-1059)."""
+    import jax
+    import jax.numpy as jnp
+
+    from optwboundeigenval_tpu.models.backbones import (
+        densenet121_features,
+        load_pretrained_npz,
+    )
+
+    feat = densenet121_features()
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = dict(feat.init(jax.random.PRNGKey(0), x, train=False))
+    # npz with one valid key, one shape-mismatched, one unknown
+    k0 = np.asarray(variables["params"]["Conv_0"]["kernel"])
+    np.savez(
+        tmp_path / "part.npz",
+        **{
+            "params/Conv_0/kernel": np.ones_like(k0),
+            "params/Conv_1/kernel": np.zeros((1, 1, 1, 1), np.float32),
+            "params/NoSuch/kernel": np.zeros((3,), np.float32),
+        },
+    )
+    before = np.asarray(variables["params"]["Conv_1"]["kernel"]).copy()
+    out = load_pretrained_npz(variables, str(tmp_path / "part.npz"))
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["Conv_0"]["kernel"]), np.ones_like(k0)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["Conv_1"]["kernel"]), before
+    )
+
+
+def test_cxr_prefix_overlay(tmp_path):
+    """The CXR wrapper nests the trunk under 'features'; the prefix-
+    tolerant loader must land npz keys there (driver option
+    pretrained_npz/pretrained_prefix)."""
+    import jax
+    import jax.numpy as jnp
+
+    from optwboundeigenval_tpu.models.backbones import load_pretrained_npz
+    from optwboundeigenval_tpu.models.cxr import CXRModel
+
+    model = CXRModel(backbone="densenet121", outnum=14)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = dict(model.init(jax.random.PRNGKey(0), x, train=False))
+    k0 = np.asarray(variables["params"]["features"]["Conv_0"]["kernel"])
+    bn_mean = np.asarray(
+        variables["batch_stats"]["features"]["BatchNorm_0"]["mean"]
+    )
+    np.savez(
+        tmp_path / "trunk.npz",
+        **{
+            "params/Conv_0/kernel": np.ones_like(k0),
+            "batch_stats/BatchNorm_0/mean": np.ones_like(bn_mean),
+        },
+    )
+    out = load_pretrained_npz(variables, str(tmp_path / "trunk.npz"),
+                              prefix="features")
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["features"]["Conv_0"]["kernel"]),
+        np.ones_like(k0),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["batch_stats"]["features"]["BatchNorm_0"]["mean"]),
+        np.ones_like(bn_mean),
+    )
+
+
+def test_load_torch_checkpoint_usps(torch_densenet, tmp_path):
+    """Reference-checkpoint interop (opt.py:765-769, 1041-1059): a .pt
+    saved the reference way (nested state_dict, module. prefixes) loads
+    into CNNUSPS with forward agreement."""
+    torch, _ = torch_densenet
+    import jax
+    import jax.numpy as jnp
+
+    from optwboundeigenval_tpu.models import CNNUSPS
+    from optwboundeigenval_tpu.train import checkpoints
+
+    from usps_data import CNN  # reference model, executed as-is
+
+    torch.manual_seed(3)
+    m = CNN()
+    # save with the reference's tolerated decorations
+    sd = {"module." + k: v for k, v in m.state_dict().items()}
+    pt = tmp_path / "ckpt.pt"
+    torch.save({"state_dict": sd, "epoch": 7}, pt)
+
+    params = checkpoints.load_torch_checkpoint(str(pt), "usps_cnn")
+    x = np.random.default_rng(0).normal(size=(4, 256)).astype(np.float32)
+    model = CNNUSPS()
+    logits = model.apply({"params": jax.tree.map(jnp.asarray, params)},
+                         jnp.asarray(x), train=False)
+    with torch.no_grad():
+        ref_out = m(torch.from_numpy(x)).numpy()  # softmax in-model
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.softmax(logits, axis=-1)), ref_out,
+        rtol=1e-4, atol=1e-5,
+    )
