@@ -177,11 +177,23 @@ def densenet201_features(**kw):
                             num_init_features=64, **kw)  # out 1920
 
 
-def load_pretrained_npz(params, path: str):
+def load_pretrained_npz(params, path: str, prefix: str = None):
     """Overlay converted pretrained weights from a local npz whose keys
     are '/'-joined param paths.  Missing keys keep their random init —
     the offline analog of the reference's tolerant pretrained loading
-    (dnet.py:328-343, opt.py:1041-1059)."""
+    (dnet.py:328-343, opt.py:1041-1059).
+
+    Accepts either a bare params tree with bare npz keys
+    (``Conv_0/kernel``) or a full variables dict with namespaced keys
+    (``params/Conv_0/kernel``, ``batch_stats/BatchNorm_0/mean``) — the
+    format ``scripts/convert_torch_weights.py`` emits, which carries the
+    BatchNorm running statistics pretrained trunks need.
+
+    ``prefix`` names the submodule the trunk lives under in the target
+    tree (e.g. ``"features"`` for CXRModel, whose params are
+    ``params/features/Conv_0/...`` while the npz holds
+    ``params/Conv_0/...``) — the reference's ``encoder. -> features.``
+    rename tolerance (opt.py:1052-1056) expressed as scoping."""
     import numpy as np
 
     from flax.traverse_util import flatten_dict, unflatten_dict
@@ -189,6 +201,15 @@ def load_pretrained_npz(params, path: str):
     loaded = dict(np.load(path))
     flat = flatten_dict(params, sep="/")
     for k in list(flat):
-        if k in loaded and loaded[k].shape == flat[k].shape:
-            flat[k] = jnp.asarray(loaded[k])
+        candidates = [k, k.removeprefix("params/"), "params/" + k]
+        if prefix:
+            for cand in list(candidates):
+                parts = cand.split("/")
+                if prefix in parts:
+                    parts.remove(prefix)
+                    candidates.append("/".join(parts))
+        for key in candidates:
+            if key in loaded and loaded[key].shape == flat[k].shape:
+                flat[k] = jnp.asarray(loaded[key])
+                break
     return unflatten_dict(flat, sep="/")

@@ -106,6 +106,24 @@ def run(options: Dict[str, Any]) -> SpectralTrainer:
     train_loader_na = options.get("train_loader_na")
     crops = options.get("crops", False)
 
+    # pretrained trunk overlay (the reference downloads torchvision
+    # weights at model construction, dcnn.py:269-278 / dnet.py:328-343;
+    # here: an offline npz produced by scripts/convert_torch_weights.py)
+    pretrained = options.get("pretrained_npz")
+    if pretrained:
+        from optwboundeigenval_tpu.models.backbones import load_pretrained_npz
+
+        loader0 = train_loader or (test_loaders[0] if test_loaders else None)
+        trainer.init_state(next(iter(loader0)))
+        overlaid = load_pretrained_npz(
+            {"params": trainer.params, **dict(trainer.model_state)},
+            pretrained,
+            prefix=options.get("pretrained_prefix", "features"),
+        )
+        trainer.params = overlaid.pop("params")
+        trainer.model_state = type(trainer.model_state)(overlaid) \
+            if overlaid else trainer.model_state
+
     if options.get("train", True):
         trainer.train(
             train_loader=train_loader,
