@@ -1,4 +1,5 @@
 from optwboundeigenval_tpu.parallel.mesh import (  # noqa: F401
+    init_distributed,
     make_mesh,
     shard_batch,
     replicate,

@@ -27,8 +27,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def init_distributed(coordinator: Optional[str] = None, **kw) -> None:
     """Multi-host initialization (jax.distributed).  No-op when running
-    single-process."""
+    single-process.
+
+    On the CPU backend, cross-process collectives need an explicit
+    implementation (Gloo); select it before the backend initializes so
+    the multi-host path is testable without TPU pods
+    (tests/test_multihost.py spawns 2 real processes through here).
+    """
     if coordinator is not None:
+        try:  # harmless on TPU; required for multi-process CPU
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:  # older/newer jax without the option
+            pass
         jax.distributed.initialize(coordinator_address=coordinator, **kw)
 
 
@@ -56,15 +66,47 @@ def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a batch dict on the mesh, leading dim split over ``data``."""
+    """Place a batch dict on the mesh, leading dim split over ``data``.
 
-    def put(x):
-        return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+    Single-process: a plain ``device_put`` onto the batch sharding.
+    Multi-process (``jax.process_count() > 1``): each host holds only
+    its LOCAL shard of the global batch (the ``ArrayLoader`` with
+    ``host_shard=(process_index, process_count)`` feeds per-host data,
+    SURVEY §2.9), so the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the global leading dim
+    is ``local * process_count``.
+    """
+    if jax.process_count() > 1:
+
+        def put(x):
+            x = np.asarray(x)
+            sharding = batch_sharding(mesh, x.ndim)
+            gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sharding, x, gshape)
+
+    else:
+
+        def put(x):
+            return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
 
     return jax.tree.map(put, batch)
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully replicate a pytree (params, eigenvector, optimizer state)."""
+    """Fully replicate a pytree (params, eigenvector, optimizer state).
+
+    Multi-process: every host carries the same host-local values (same
+    seeds/checkpoints), lifted to one global fully-replicated array via
+    ``multihost_utils.host_local_array_to_global_array``.
+    """
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return jax.tree.map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, P()
+            ),
+            tree,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
