@@ -52,6 +52,29 @@ def test_cifar_config_options(name):
     assert opt["pow_iter_eps"] == 0.05
 
 
+@pytest.mark.parametrize(
+    "name", [c for c in ALL_CONFIGS if c.startswith("chestxray")]
+)
+def test_chestxray_config_options(name):
+    """Every chest x-ray recipe builds its full option dict (synthetic
+    loaders, W-BCE loss, accauc sigmoid eval — reference
+    params/chestxray_*.py surface)."""
+    mod = importlib.import_module(f"optwboundeigenval_tpu.configs.{name}")
+    opt = mod.options()
+    assert opt["loss"] == "weighted_bce_with_logits"
+    assert opt["test_func"] == "accauc sigmoid"
+    assert opt["has_batch_stats"] is True
+    assert opt["comp_test"] is True and opt["test"] is False
+    for key in ("train_loader", "valid_loader"):
+        assert opt[key] is not None
+    if name.endswith("_vgg"):
+        assert "vgg" in type(opt["model"]).__name__.lower() or getattr(
+            opt["model"], "backbone", ""
+        ).startswith("vgg")
+    tr = build_trainer(opt)
+    assert tr.header2.startswith("chestxray")
+
+
 def test_driver_cascade_end_to_end(tmp_path, monkeypatch):
     """python main.py <config> equivalent on a tiny synthetic recipe:
     train -> test -> parse -> rho_test."""
