@@ -81,12 +81,33 @@ def main(workdir, platform="cpu"):
     xt, yt = data["x_test"], data["y_test"]
     sd = dict(np.load(os.path.join(workdir, "init_params.npz")))
 
+    batch_stats = None
     if cfg["task"] == "forest":
         task = Task(model=ForestNet(), loss=cross_entropy_double_softmax)
         params = convert_forest(sd)
         optimizer = sgd(cfg["lr"])
         scheduler = LambdaLR(cfg["lr"], lambda k: 1.0 / (1.0 + k))
         x_model = x
+    elif cfg["task"] == "cifar":
+        # cifar10_DenseNet recipe: plain CE on logits, SGD momentum .9
+        # wd 1e-4, LambdaLR milestone drops — BatchNorm model, so this
+        # task proves BN-inside-the-Hessian parity end to end
+        from optwboundeigenval_tpu.models import DenseNet3
+        from optwboundeigenval_tpu.utils.torch_interop import (
+            convert_densenet3_state_dict,
+        )
+
+        task = Task(model=DenseNet3(depth=cfg["depth"]), has_batch_stats=True)
+        params, batch_stats = convert_densenet3_state_dict(
+            sd, depth=cfg["depth"]
+        )
+        optimizer = sgd(cfg["lr"], momentum=0.9, weight_decay=1e-4)
+        epochs = cfg["epochs"]
+        scheduler = LambdaLR(
+            cfg["lr"],
+            lambda k: 0.1 ** ((k >= 0.5 * epochs) + (k >= 0.75 * epochs)),
+        )
+        x_model = x  # NHWC already
     else:
         task = Task(model=CNNUSPS(), loss=cross_entropy_double_softmax)
         params = convert_usps(sd)
@@ -123,6 +144,12 @@ def main(workdir, platform="cpu"):
         tr.params,
         params,
     )
+    if batch_stats is not None:
+        tr.model_state = jax.tree.map(
+            lambda ref, new: jnp.asarray(new, ref.dtype),
+            tr.model_state,
+            {"batch_stats": batch_stats},
+        )
     tr._np_rng = _PinnedRng()
 
     t0 = time.time()
@@ -150,7 +177,8 @@ def main(workdir, platform="cpu"):
                 batch_rows.append([float(p) for p in parts])
 
     def accuracy(xa, ya):
-        xa = xa if cfg["task"] == "forest" else xa.reshape(-1, 16, 16, 1)
+        if cfg["task"] == "usps":
+            xa = xa.reshape(-1, 16, 16, 1)
         preds = []
         for i in range(0, len(xa), 512):
             out = task.predict(

@@ -65,15 +65,34 @@ def build(task_name, cfg):
         model = CNN()
         opt_ = torch.optim.Adam(model.parameters(), lr=cfg["lr"])
         sched = None
+    elif task_name == "cifar":
+        # cifar10_DenseNet recipe (params/cifar10_DenseNet_mu0_01_K100.py):
+        # SGD momentum .9 wd 1e-4, LambdaLR 0.1^(milestones at 50%/75%)
+        from densenet import DenseNet3
+
+        model = DenseNet3(cfg.get("depth", 16), 10)
+        opt_ = torch.optim.SGD(
+            model.parameters(), lr=cfg["lr"], momentum=0.9, weight_decay=1e-4
+        )
+        epochs = cfg["epochs"]
+        sched = torch.optim.lr_scheduler.LambdaLR(
+            opt_,
+            lr_lambda=lambda k: 0.1
+            ** ((k >= 0.5 * epochs) + (k >= 0.75 * epochs)),
+        )
     else:
         raise ValueError(task_name)
     return model, opt_, sched
 
 
 def accuracy(model, x, y):
+    was_training = model.training
+    model.eval()
     with torch.no_grad():
         out = model(torch.from_numpy(x))
         pred = out.argmax(dim=1).numpy()
+    if was_training:
+        model.train()
     return float((pred == y).mean())
 
 
@@ -82,6 +101,10 @@ def main(workdir):
     data = np.load(os.path.join(workdir, "data.npz"))
     x, y = data["x_train"], data["y_train"]
     xt, yt = data["x_test"], data["y_test"]
+    if cfg["task"] == "cifar":
+        # stored NHWC (the JAX-native layout); torch wants NCHW
+        x = np.ascontiguousarray(x.transpose(0, 3, 1, 2))
+        xt = np.ascontiguousarray(xt.transpose(0, 3, 1, 2))
 
     torch.manual_seed(cfg["seed"])
     np.random.seed(cfg["seed"])

@@ -36,7 +36,7 @@ class TransitHead(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(1024, (3, 3), padding=(1, 1), dtype=self.dtype,
                     name="transit_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+        x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype,
                          name="transit_bn")(x)
         x = relu(x)
         x = nn.max_pool(x, (2, 2), strides=(2, 2), padding=((1, 1), (1, 1)))

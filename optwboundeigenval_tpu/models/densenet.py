@@ -10,7 +10,9 @@ densenet.py:104-107).
 TPU-native: NHWC layout, channel concatenation on the last axis (lane
 dimension), no in-place ops.  BatchNorm uses flax BatchNorm with
 running stats in the ``batch_stats`` collection; curvature evaluations
-freeze the running averages (see train/task.py).
+freeze the running averages (see train/task.py).  BN momentum is 0.9
+(flax convention) == torch's default 0.1 — the reference's running-stat
+decay rate (nn.BatchNorm2d defaults, densenet.py:19-66).
 """
 
 from __future__ import annotations
@@ -37,7 +39,7 @@ class BottleneckBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         inter = self.out_planes * 4
-        out = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
         out = relu(out)
         out = nn.Conv(
             inter, (1, 1), use_bias=False, dtype=self.dtype,
@@ -45,7 +47,7 @@ class BottleneckBlock(nn.Module):
         )(out)
         if self.drop_rate > 0:
             out = nn.Dropout(self.drop_rate, deterministic=not train)(out)
-        out = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(out)
         out = relu(out)
         out = nn.Conv(
             self.out_planes, (3, 3), padding="SAME", use_bias=False,
@@ -63,7 +65,7 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        out = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
         out = relu(out)
         out = nn.Conv(
             self.out_planes, (3, 3), padding="SAME", use_bias=False,
@@ -81,7 +83,7 @@ class TransitionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        out = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
         out = relu(out)
         out = nn.Conv(
             self.out_planes, (1, 1), use_bias=False, dtype=self.dtype,
@@ -131,7 +133,7 @@ class DenseNet3(nn.Module):
                     out, train
                 )
                 in_planes = out_planes
-        out = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(out)
         out = relu(out)
         out = nn.avg_pool(out, (8, 8), strides=(8, 8))
         out = out.reshape(out.shape[0], -1)

@@ -91,7 +91,7 @@ class DCGenerator(nn.Module):
                 w, (stride, stride), strides=(stride, stride),
                 dtype=self.dtype,
             )(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
             x = nn.relu(x)
         x = nn.ConvTranspose(1, (2, 2), strides=(2, 2), dtype=self.dtype)(x)
         return jnp.tanh(x)  # (B, 32, 32, 1)

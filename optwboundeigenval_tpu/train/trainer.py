@@ -373,11 +373,13 @@ class SpectralTrainer:
                     "opt_merr": new_opt_state.merr,
                 }
 
-            # BN running stats update (train_loss path; reference trains
-            # in train mode so stats advance every batch)
+            # BN running stats update at the PRE-step params: the
+            # reference's stats advance during comp_rho's prepare_grad
+            # forward (train mode, opt.py:180-186, 421), which happens
+            # BEFORE the optimizer step mutates the weights.
             if self.task.has_batch_stats:
                 _, new_model_state = self.task.train_loss(
-                    new_params, model_state, batch, rng_step
+                    params, model_state, batch, rng_step
                 )
             else:
                 new_model_state = model_state
@@ -387,7 +389,14 @@ class SpectralTrainer:
         return jax.jit(step)
 
     def _build_rho_step(self):
-        """comp_rho without an optimizer step (epoch-end h, rho_test)."""
+        """comp_rho without an optimizer step (epoch-end h, rho_test).
+
+        Returns ``(eig, new_model_state)``: the reference's comp_rho runs
+        a train-mode forward (prepare_grad, opt.py:421), so BN running
+        stats advance as a side effect of every rho evaluation — the
+        epoch-end random-batch comp_g (opt.py:740) and rho_test
+        (opt.py:882-910) included.  Mirrored here so eval-mode losses
+        see the same running-stat trajectory."""
 
         def step(params, model_state, v, batch, rng, precond_state):
             loss_fn = self._loss_fn(model_state, rng)
@@ -396,7 +405,7 @@ class SpectralTrainer:
             precond = None
             if self.precond_builder is not None and precond_state is not None:
                 precond = lambda r: self.precond_builder(precond_state, r)
-            return eigen.estimate_dominant_eig(
+            eig = eigen.estimate_dominant_eig(
                 hvp_fn,
                 v0,
                 eps=self.pow_iter_eps,
@@ -405,6 +414,13 @@ class SpectralTrainer:
                 precond=precond,
                 ignore_bad_vals=self.ignore_bad_vals,
             )
+            if self.task.has_batch_stats:
+                _, new_model_state = self.task.train_loss(
+                    params, model_state, batch, rng
+                )
+            else:
+                new_model_state = model_state
+            return eig, new_model_state
 
         return jax.jit(step)
 
@@ -576,7 +592,7 @@ class SpectralTrainer:
         if self.pow_iter and rdata is not None:
             batch = self._put_batch(rdata)
             self.rng, r_rng = jax.random.split(self.rng)
-            eig = rho_step(
+            eig, self.model_state = rho_step(
                 self.params, self.model_state, self.v, batch, r_rng,
                 self._precond_state,
             )
@@ -850,7 +866,7 @@ class SpectralTrainer:
             # RTT (~25-45 ms on the tunnel); it cancels when comparing
             # rows and is negligible off-tunnel.
             t0 = time.perf_counter()
-            eig = rho_step(
+            eig, self.model_state = rho_step(
                 self.params, self.model_state, self.v, batch, r_rng,
                 self._precond_state,
             )

@@ -115,6 +115,71 @@ def convert_cnnusps_state_dict(sd) -> Dict[str, dict]:
     }
 
 
+def bn_from_torch(
+    sd: Dict[str, np.ndarray], prefix: str
+) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """torch BatchNorm2d ``{weight,bias,running_mean,running_var}`` →
+    flax ``({scale, bias}, {mean, var})`` (params, batch_stats)."""
+    return (
+        {
+            "scale": np.asarray(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"]),
+        },
+        {
+            "mean": np.asarray(sd[f"{prefix}.running_mean"]),
+            "var": np.asarray(sd[f"{prefix}.running_var"]),
+        },
+    )
+
+
+def convert_densenet3_state_dict(
+    sd, depth: int = 40, bottleneck: bool = True
+) -> Tuple[Dict[str, dict], Dict[str, dict]]:
+    """Reference CIFAR ``DenseNet3`` state_dict (densenet.py:70-121) →
+    (params, batch_stats) trees for models.DenseNet3.
+
+    Key map: ``block{b+1}.layer.{i}`` → ``{Bottleneck,Basic}Block_{b*n+i}``
+    (flax auto-numbering is global across the three dense blocks),
+    ``trans{t}`` → ``TransitionBlock_{t-1}``, the final ``bn1`` →
+    top-level ``BatchNorm_0``, ``fc`` → ``fc``; convs are OIHW → HWIO.
+    """
+    sd = normalize_state_dict_keys(sd)
+    n = (depth - 4) / 3
+    if bottleneck:
+        n = n / 2
+    n = int(n)
+    block_cls = "BottleneckBlock" if bottleneck else "BasicBlock"
+
+    params: Dict[str, dict] = {"conv1": conv_from_torch(sd["conv1.weight"])}
+    stats: Dict[str, dict] = {}
+    for b in range(3):
+        for i in range(n):
+            t = f"block{b + 1}.layer.{i}"
+            f = f"{block_cls}_{b * n + i}"
+            bn_p, bn_s = bn_from_torch(sd, f"{t}.bn1")
+            p = {"BatchNorm_0": bn_p, "Conv_0": conv_from_torch(sd[f"{t}.conv1.weight"])}
+            s = {"BatchNorm_0": bn_s}
+            if bottleneck:
+                bn_p2, bn_s2 = bn_from_torch(sd, f"{t}.bn2")
+                p["BatchNorm_1"] = bn_p2
+                p["Conv_1"] = conv_from_torch(sd[f"{t}.conv2.weight"])
+                s["BatchNorm_1"] = bn_s2
+            params[f], stats[f] = p, s
+        if b < 2:
+            t = f"trans{b + 1}"
+            f = f"TransitionBlock_{b}"
+            bn_p, bn_s = bn_from_torch(sd, f"{t}.bn1")
+            params[f] = {
+                "BatchNorm_0": bn_p,
+                "Conv_0": conv_from_torch(sd[f"{t}.conv1.weight"]),
+            }
+            stats[f] = {"BatchNorm_0": bn_s}
+    bn_p, bn_s = bn_from_torch(sd, "bn1")
+    params["BatchNorm_0"], stats["BatchNorm_0"] = bn_p, bn_s
+    params["fc"] = dense_from_torch(sd["fc.weight"], sd["fc.bias"])
+    return params, stats
+
+
 def dense_to_torch(kernel: np.ndarray) -> np.ndarray:
     """flax Dense kernel (in, out) -> torch Linear weight (out, in)."""
     return np.ascontiguousarray(kernel.T)
