@@ -199,3 +199,86 @@ def test_legacy_train2_vae_and_test(tmp_path):
     assert roc.shape == (4,)
     assert 0.0 <= avgroc <= 1.0
     assert labels.shape == outputs.shape == (64, 4)
+
+
+def test_run_cmd_pipe_pty_and_errors():
+    """cmd.py surface parity (reference cmd.py:28-89): capture, pty
+    tty-ness, CR-overwrite collapse, CalledProcessError w/ output."""
+    import pytest
+    import sys
+
+    from optwboundeigenval_tpu.utils.cmd import run_cmd
+
+    # plain pipe capture
+    out = run_cmd([sys.executable, "-c", "print('hello')"], silent=True)
+    assert out == "hello\n"
+
+    # the child sees a tty under use_pty
+    out = run_cmd(
+        [sys.executable, "-c", "import sys; print(sys.stdout.isatty())"],
+        use_pty=True, silent=True,
+    )
+    assert out.strip() == "True"
+
+    # carriage-return progress overwrites collapse to the final state
+    out = run_cmd(
+        [sys.executable, "-c",
+         r"import sys; sys.stdout.write('10%\r50%\rdone\n')"],
+        silent=True,
+    )
+    assert out == "done\n"
+
+    # non-zero exit raises with the captured output attached
+    with pytest.raises(Exception) as ei:
+        run_cmd([sys.executable, "-c",
+                 "print('boom'); raise SystemExit(3)"], silent=True)
+    assert ei.value.returncode == 3
+    assert "boom" in ei.value.output
+
+
+def test_git_helpers(tmp_path):
+    """git_pull/git_push against local fixture repos (cmd.py:13-26)."""
+    import subprocess
+
+    from optwboundeigenval_tpu.utils.cmd import git_pull, git_push
+
+    def git(*args, cwd):
+        subprocess.run(["git", *args], cwd=cwd, check=True,
+                       capture_output=True)
+
+    upstream = tmp_path / "upstream.git"
+    upstream.mkdir()
+    git("init", "--bare", "-b", "main", str(upstream), cwd=tmp_path)
+    clone_a = tmp_path / "a"
+    git("clone", str(upstream), str(clone_a), cwd=tmp_path)
+    git("config", "user.email", "t@t", cwd=clone_a)
+    git("config", "user.name", "t", cwd=clone_a)
+    (clone_a / "f.txt").write_text("one\n")
+    git("add", "f.txt", cwd=clone_a)
+    git("commit", "-m", "one", cwd=clone_a)
+    git("push", "origin", "main", cwd=clone_a)
+
+    clone_b = tmp_path / "b"
+    git("clone", str(upstream), str(clone_b), cwd=tmp_path)
+    git("config", "user.email", "t@t", cwd=clone_b)
+    git("config", "user.name", "t", cwd=clone_b)
+
+    # nothing new: git_pull returns False ("up to date")
+    assert git_pull(cwd=str(clone_b)) is False
+
+    # push a new commit from a; git_pull in b now reports updates
+    (clone_a / "f.txt").write_text("two\n")
+    git("commit", "-am", "two", cwd=clone_a)
+    git("push", cwd=clone_a)
+    assert git_pull(cwd=str(clone_b)) is True
+
+    # git_push pushes b's commit upstream
+    (clone_b / "g.txt").write_text("b\n")
+    git("add", "g.txt", cwd=clone_b)
+    git("commit", "-m", "from b", cwd=clone_b)
+    git_push(cwd=str(clone_b))
+    log = subprocess.run(
+        ["git", "log", "--oneline", "main"], cwd=upstream,
+        capture_output=True, text=True, check=True,
+    ).stdout
+    assert "from b" in log
