@@ -6,7 +6,9 @@ active regularizer = #pow_iters + 3 backwards).  Round 1 headlined a
 tiny-CNN number that was pure dispatch overhead; the headline is now
 DenseNet-40-12 (the reference's CIFAR workhorse, densenet.py) at its
 throughput-optimal configuration on this chip (batch 128, bf16 compute
-with f32 params), with FLOPs from XLA's cost model of the compiled
+with f32 params, jax.checkpoint remat — recomputing forward residuals
+in the tangent pass beats round-tripping them through HBM by 1.30x;
+the SpectralTrainer(remat=True) knob), with FLOPs from XLA's cost model of the compiled
 program and MFU against the chip's bf16 MXU peak — a roofline
 statement, not a wall-clock anecdote.
 
@@ -95,7 +97,7 @@ def usps_hvps_per_sec() -> float:
 def main() -> None:
     from benchmarks.bench_densenet_hvp import measure
 
-    dn = measure(batch=BATCH, dtype=jnp.bfloat16)
+    dn = measure(batch=BATCH, dtype=jnp.bfloat16, remat=True)
     examples_per_sec = dn["hvps_per_sec"] * BATCH
     baseline_examples = (
         TORCH_CPU_DENSENET40_HVPS_PER_SEC * TORCH_CPU_DENSENET40_BATCH
@@ -105,7 +107,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "densenet40_hvp_example_throughput_bf16_batch128",
+                "metric": "densenet40_hvp_example_throughput_bf16_remat_batch128",
                 "value": round(examples_per_sec, 1),
                 "unit": "curvature examples/sec/chip",
                 "vs_baseline": round(examples_per_sec / baseline_examples, 1),

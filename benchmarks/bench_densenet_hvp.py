@@ -90,10 +90,16 @@ def hvp_flops(loss_fn, params, batch, v0):
     return f_hvp - f_grad
 
 
-def measure(batch=32, dtype=jnp.float32, n_small=20, n_large=80, reps=3):
+def measure(batch=32, dtype=jnp.float32, n_small=20, n_large=80, reps=3,
+            remat=False):
     from optwboundeigenval_tpu.utils.tree import tree_uniform_like
 
     params, b, loss_fn = build(batch, dtype)
+    if remat:
+        # recompute forward residuals in the tangent pass instead of
+        # round-tripping them through HBM — measured 1.30x at batch 128
+        # bf16 on v5e (same knob as SpectralTrainer(remat=True))
+        loss_fn = jax.checkpoint(loss_fn)
     v0 = tree_uniform_like(params)
 
     times = {}
@@ -124,11 +130,13 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, nargs="+", default=[32])
     ap.add_argument("--dtype", nargs="+", default=["f32"])
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
     dt = {"f32": jnp.float32, "bf16": jnp.bfloat16}
     for b in args.batch:
         for d in args.dtype:
-            print(json.dumps(measure(batch=b, dtype=dt[d])), flush=True)
+            print(json.dumps(measure(batch=b, dtype=dt[d],
+                                     remat=args.remat)), flush=True)
 
 
 def build_cxr(batch, dtype, px=64):
@@ -154,10 +162,13 @@ def build_cxr(batch, dtype, px=64):
     return params, b, loss_fn
 
 
-def measure_model(builder, batch, dtype, n_small=5, n_large=20, reps=3):
+def measure_model(builder, batch, dtype, n_small=5, n_large=20, reps=3,
+                  remat=False):
     from optwboundeigenval_tpu.utils.tree import tree_uniform_like
 
     params, b, loss_fn = builder(batch, dtype)
+    if remat:
+        loss_fn = jax.checkpoint(loss_fn)
     v0 = tree_uniform_like(params)
     times = {}
     for n in (n_small, n_large):
