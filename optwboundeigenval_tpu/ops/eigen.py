@@ -145,8 +145,12 @@ def power_iteration(
         # On stop, the reference breaks *before* the damped update, so the
         # returned eigenvector is the one whose HVP was just measured.
         new_v = tree_where(done, s.v, v_next)
+        # Mask the counter on lanes that already stopped: sequentially
+        # the loop exits before another increment, and under vmap the
+        # body keeps running until ALL lanes stop — the mask makes the
+        # batched solve lane-for-lane identical to sequential solves.
         return _State(
-            i=s.i + 1,
+            i=jnp.where(s.done, s.i, s.i + 1),
             v=new_v,
             lam=lam,
             lam_old=jnp.where(done, s.lam_old, lam),

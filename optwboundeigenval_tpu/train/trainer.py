@@ -897,6 +897,86 @@ class SpectralTrainer:
         )
         return means
 
+    def rho_test_fused(self, x=None, y=None, loader=None, fname=None):
+        """All-batch rho audit in ONE device call — a TPU-native
+        capability upgrade over the sequential protocol.
+
+        The reference's rho_test (opt.py:882-910) eigensolves batch by
+        batch; here every (padded, static-shape) batch is stacked and
+        the whole power iteration runs ``jax.vmap``-ed over the batch
+        axis, so the audit costs one compile + one dispatch + one
+        device->host transfer regardless of dataset size (the per-call
+        tunnel RTT otherwise dominates small-model audits).  Lane-wise
+        the solve is bit-identical to a sequential solve from the same
+        start (the while-loop body is masked on stopped lanes,
+        ops/eigen.power_iteration).
+
+        Protocol difference vs :meth:`rho_test` (documented, not
+        hidden): every batch starts from the deterministic uniform
+        vector (the reference's ``random_v``, opt.py:324-325) instead
+        of carrying the previous batch's eigenvector, and BN running
+        stats are NOT advanced (no sequential state exists).  The
+        LOBPCG-preconditioned mode keeps the sequential path.  Writes
+        the same ``*_rho_test.csv`` schema; the per-row time column is
+        the batched wall time / n_batches.
+        """
+        if fname is not None:
+            self.model_load(fname)
+        if loader is None:
+            loader = _as_loader((x, y), self.batch_size)
+        datas = list(loader)
+        stacked = {
+            k: jnp.stack([jnp.asarray(d[k]) for d in datas])
+            for k in datas[0]
+        }
+
+        if "rho_fused" not in self._compiled:
+
+            def one(params, model_state, batch, rng):
+                loss_fn = self._loss_fn(model_state, rng)
+                _, hvp_fn = curvature.linearize_hvp(loss_fn, params, batch)
+                return eigen.estimate_dominant_eig(
+                    hvp_fn,
+                    tree_uniform_like(params),
+                    eps=self.pow_iter_eps,
+                    max_iter=self.max_pow_iter,
+                    alpha=self.pow_iter_alpha,
+                    ignore_bad_vals=self.ignore_bad_vals,
+                )
+
+            self._compiled["rho_fused"] = jax.jit(
+                jax.vmap(one, in_axes=(None, None, 0, 0))
+            )
+
+        self.rng, r = jax.random.split(self.rng)
+        rngs = jax.random.split(r, len(datas))
+        t0 = time.perf_counter()
+        res = self._compiled["rho_fused"](
+            self.params, self.model_state, stacked, rngs
+        )
+        host = jax.device_get(
+            {"rho": res.rho, "norm": res.norm, "iters": res.iters,
+             "res_change": res.res_change}
+        )
+        dt = (time.perf_counter() - t0) / max(len(datas), 1)
+        arr = np.asarray(
+            [
+                [j, float(host["rho"][j]), float(host["norm"][j]),
+                 int(host["iters"][j]), float(host["res_change"][j]), dt]
+                for j in range(len(datas))
+            ],
+            dtype=float,
+        )
+        sizes = [float(np.sum(d["w"])) for d in datas]
+        means = np.average(arr, axis=0, weights=sizes)[1:]
+        os.makedirs(self.log_dir, exist_ok=True)
+        np.savetxt(
+            os.path.join(self.log_dir, self.header2 + "_rho_test.csv"),
+            arr,
+            delimiter=",",
+        )
+        return means
+
     # ------------------------------------------------------------------
     # spectrum_test — top-k eigenvalues per batch (capability upgrade
     # over the reference's top-1 rho_test, opt.py:882-910)

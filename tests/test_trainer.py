@@ -216,3 +216,47 @@ def test_penalty_active_regime_lowers_rho(tmp_path):
     # (iii) rho materially below the control at comparable loss
     assert reg.rho < 0.5 * ctrl.rho, (reg.rho, ctrl.rho)
     assert reg.f <= 2.0 * ctrl.f + 1e-2, (reg.f, ctrl.f)
+
+
+def test_rho_test_fused_matches_sequential(tmp_path):
+    """The one-call vmapped rho audit is lane-for-lane identical to
+    sequential per-batch solves from the same uniform start (the
+    while-loop body is masked on stopped lanes), and writes the same
+    CSV schema as rho_test (opt.py:882-910)."""
+    import jax
+
+    from optwboundeigenval_tpu.ops import curvature, eigen
+    from optwboundeigenval_tpu.utils.tree import tree_uniform_like
+
+    x, y = make_classification(512, 54, 7, seed=3)
+    x = x.astype(np.float32)
+    task = Task(model=ForestNet())
+    tr = SpectralTrainer(
+        task, sgd(0.1), mu=0.01, K=0.0, pow_iter_eps=1e-3,
+        batch_size=128, max_pow_iter=100, ignore_bad_vals=False,
+        header="FUSED", seed=3,
+        log_dir=str(tmp_path / "logs"), model_dir=str(tmp_path / "models"),
+    )
+    loader = ArrayLoader(x, y.astype(np.int32), batch_size=128)
+    tr.init_state(next(iter(loader)))
+
+    means = tr.rho_test_fused(loader=loader)
+    csv = tmp_path / "logs" / f"{tr.header2}_rho_test.csv"
+    assert csv.exists()
+    arr = np.loadtxt(csv, delimiter=",")
+    assert arr.shape == (4, 6)
+
+    # sequential oracle: same uniform start per batch, same loss
+    loss_rng = jax.random.PRNGKey(0)
+    for j, data in enumerate(loader):
+        batch = tr._put_batch(data)
+        loss_fn = tr._loss_fn(tr.model_state, loss_rng)
+        _, hvp_fn = curvature.linearize_hvp(loss_fn, tr.params, batch)
+        res = eigen.estimate_dominant_eig(
+            hvp_fn, tree_uniform_like(tr.params),
+            eps=tr.pow_iter_eps, max_iter=tr.max_pow_iter,
+            ignore_bad_vals=False,
+        )
+        np.testing.assert_allclose(arr[j, 1], float(res.rho), rtol=1e-5)
+        assert int(arr[j, 3]) == int(res.iters)
+    assert means[0] > 0
