@@ -1,0 +1,111 @@
+"""Full spectral train-step throughput at the tuned configuration.
+
+One step = linearize -> power iteration to pow_iter_eps -> gated vGHv
+penalty gradient -> optimizer update, all inside the one jitted
+``SpectralTrainer.train_step`` (the reference's per-batch ``iter()``
+protocol, opt.py:580-763).  This measures the number users feel —
+steps/s of REGULARIZED training — at the knobs the MFU study
+(bench_densenet_hvp.py) found optimal: bf16 compute, jax.checkpoint
+remat, batch at the per-model sweet spot.
+
+Timing: queue ``n`` asynchronous steps and force one host
+materialization at the end (tunnel-safe marginal timing between two
+step counts, same method as bench.py).
+
+Usage: python benchmarks/bench_spectral_step.py [--model dn40|dn121]
+                                                [--batch 128] [--remat]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_trainer(model_name, batch, remat, workdir="/tmp/bench_sstep"):
+    import jax.numpy as jnp
+
+    from optwboundeigenval_tpu.data.loaders import ArrayLoader
+    from optwboundeigenval_tpu.data.synthetic import make_images
+    from optwboundeigenval_tpu.optim import sgd
+    from optwboundeigenval_tpu.train import SpectralTrainer, Task
+
+    if model_name == "dn40":
+        from optwboundeigenval_tpu.models import DenseNet3
+
+        task = Task(model=DenseNet3(dtype=jnp.bfloat16), has_batch_stats=True)
+        shape, n_classes = (32, 32, 3), 10
+    else:
+        from optwboundeigenval_tpu.models.cxr import CXRModel
+        from optwboundeigenval_tpu.train.task import weighted_bce_with_logits
+
+        task = Task(
+            model=CXRModel(backbone="densenet121", outnum=14,
+                           dtype=jnp.bfloat16),
+            loss=weighted_bce_with_logits,
+            has_batch_stats=True,
+        )
+        shape, n_classes = (64, 64, 3), 14
+
+    x, y = make_images(batch * 4, shape=shape, n_classes=n_classes, seed=0)
+    if model_name == "dn121":
+        # multilabel targets for the CXR head's W-BCE-compatible CE path
+        y = np.eye(14, dtype=np.float32)[y % 14]
+        loader = ArrayLoader(x.astype(np.float32), y, batch_size=batch)
+    else:
+        loader = ArrayLoader(
+            x.astype(np.float32), y.astype(np.int32), batch_size=batch
+        )
+
+    # cifar10_DenseNet recipe knobs (SGD momentum, pow_iter_eps 0.05,
+    # binding band K=0 so the vGHv path runs EVERY step — worst case)
+    tr = SpectralTrainer(
+        task, sgd(0.1, momentum=0.9), mu=0.01, K=0.0, pow_iter_eps=0.05,
+        batch_size=batch, max_pow_iter=100, ignore_bad_vals=False,
+        remat=remat, header="BENCH_SSTEP", seed=0,
+        log_dir=os.path.join(workdir, "logs"),
+        model_dir=os.path.join(workdir, "models"),
+    )
+    batches = list(loader)
+    tr.init_state(batches[0])
+    return tr, batches
+
+
+def measure(model_name="dn40", batch=128, remat=True, n_small=5, n_large=20):
+    tr, batches = build_trainer(model_name, batch, remat)
+
+    def run(n):
+        # train_step device_gets its metrics dict, so every step is
+        # host-synchronized — the realistic cost of the public API.
+        for i in range(n):
+            tr.train_step(batches[i % len(batches)])
+
+    run(3)  # warm/compile
+    times = {}
+    for n in (n_small, n_large):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(n)
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    steps = (n_large - n_small) / max(times[n_large] - times[n_small], 1e-9)
+    return dict(
+        model=model_name, batch=batch, remat=remat,
+        steps_per_sec=round(steps, 2),
+        examples_per_sec=round(steps * batch, 1),
+    )
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="dn40", choices=["dn40", "dn121"])
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--remat", action="store_true")
+    args = ap.parse_args()
+    print(json.dumps(measure(args.model, args.batch, args.remat)), flush=True)

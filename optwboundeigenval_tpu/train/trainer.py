@@ -897,7 +897,8 @@ class SpectralTrainer:
         )
         return means
 
-    def rho_test_fused(self, x=None, y=None, loader=None, fname=None):
+    def rho_test_fused(self, x=None, y=None, loader=None, fname=None,
+                       batches_per_call: int = 32):
         """All-batch rho audit in ONE device call — a TPU-native
         capability upgrade over the sequential protocol.
 
@@ -919,16 +920,16 @@ class SpectralTrainer:
         LOBPCG-preconditioned mode keeps the sequential path.  Writes
         the same ``*_rho_test.csv`` schema; the per-row time column is
         the batched wall time / n_batches.
+
+        ``batches_per_call`` bounds device memory: the stacked audit
+        holds that many batches' activations live at once, so large
+        test sets run as a few fused calls instead of one giant one.
         """
         if fname is not None:
             self.model_load(fname)
         if loader is None:
             loader = _as_loader((x, y), self.batch_size)
         datas = list(loader)
-        stacked = {
-            k: jnp.stack([jnp.asarray(d[k]) for d in datas])
-            for k in datas[0]
-        }
 
         if "rho_fused" not in self._compiled:
 
@@ -950,23 +951,29 @@ class SpectralTrainer:
 
         self.rng, r = jax.random.split(self.rng)
         rngs = jax.random.split(r, len(datas))
-        t0 = time.perf_counter()
-        res = self._compiled["rho_fused"](
-            self.params, self.model_state, stacked, rngs
-        )
-        host = jax.device_get(
-            {"rho": res.rho, "norm": res.norm, "iters": res.iters,
-             "res_change": res.res_change}
-        )
-        dt = (time.perf_counter() - t0) / max(len(datas), 1)
-        arr = np.asarray(
-            [
-                [j, float(host["rho"][j]), float(host["norm"][j]),
+        rows: List[List[float]] = []
+        for c0 in range(0, len(datas), batches_per_call):
+            chunk = datas[c0:c0 + batches_per_call]
+            stacked = {
+                k: jnp.stack([jnp.asarray(d[k]) for d in chunk])
+                for k in chunk[0]
+            }
+            t0 = time.perf_counter()
+            res = self._compiled["rho_fused"](
+                self.params, self.model_state, stacked,
+                rngs[c0:c0 + len(chunk)],
+            )
+            host = jax.device_get(
+                {"rho": res.rho, "norm": res.norm, "iters": res.iters,
+                 "res_change": res.res_change}
+            )
+            dt = (time.perf_counter() - t0) / len(chunk)
+            rows.extend(
+                [c0 + j, float(host["rho"][j]), float(host["norm"][j]),
                  int(host["iters"][j]), float(host["res_change"][j]), dt]
-                for j in range(len(datas))
-            ],
-            dtype=float,
-        )
+                for j in range(len(chunk))
+            )
+        arr = np.asarray(rows, dtype=float)
         sizes = [float(np.sum(d["w"])) for d in datas]
         means = np.average(arr, axis=0, weights=sizes)[1:]
         os.makedirs(self.log_dir, exist_ok=True)
