@@ -287,7 +287,7 @@ SAME recipes (the reference's own params/ files: forest_best SGD .5 +
 LambdaLR 1/(1+k); usps_CNN Adam 1e-3; cifar10_DenseNet SGD .1 momentum
 .9 wd 1e-4 + milestone LambdaLR — a BatchNorm model, so curvature parity
 holds THROUGH train-mode batch statistics), unshuffled loaders, and the
-epoch-end random batch pinned to epoch %% n_batches on both sides.  The
+epoch-end random batch pinned to epoch % n_batches on both sides.  The
 reference side executes `/root/reference/opt.py` UNMODIFIED (imported,
 not copied; torch CPU).  The tpu-framework side uses the reference's
 exact loss composition (`cross_entropy_double_softmax` — softmax

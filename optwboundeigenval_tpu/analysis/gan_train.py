@@ -54,12 +54,20 @@ def train_cgan(
 
     Label tricks (gan.py:174-184): ``rand`` draws the real target from
     U(1-rand, 1) and the fake target from U(0, rand) per example;
-    ``smooth`` is the deterministic variant (real target 1-smooth);
+    ``smooth`` is a deterministic EXTENSION (real target 1-smooth; not
+    in the reference) and is mutually exclusive with ``rand``;
     ``swap`` exchanges the whole batch's real/fake targets with that
-    probability (ONE draw per batch, matching the reference).
+    probability (ONE draw per batch, matching the reference).  The
+    generator loss targets the post-fudge/post-swap ``valid``
+    (gan.py:205).
     ``weight_decay`` is Adam weight decay (gan.py:30 --weight_decay);
     ``sample_interval`` > 0 saves a generator sample grid npz every
     that many batches (gan.py:36 --sample_interval / sample_image)."""
+    if rand > 0 and smooth > 0:
+        raise ValueError(
+            "rand and smooth are mutually exclusive label tricks; "
+            "pass rand=0 to use deterministic smoothing"
+        )
     rng = jax.random.PRNGKey(seed)
     rng, gk, dk = jax.random.split(rng, 3)
     z0 = jnp.zeros((batch_size, latent_dim))
@@ -129,12 +137,15 @@ def train_cgan(
         else:
             valid_d, fake_d = valid, fake
 
-        # generator update
+        # generator update — the loss targets the SAME fudged/swapped
+        # ``valid`` the discriminator sees (gan.py:205: g_loss =
+        # adversarial_loss(validity, valid) after the rand/swap block),
+        # so on a swapped batch the generator trains toward the fake
+        # target, exactly like the reference.
         def g_loss_fn(gp):
             imgs, updates = g_apply(gp, g_state, z, gen_labels)
             logits = d_apply(d_params, imgs, gen_labels, dk1)
-            return bce_logits(logits, jnp.ones((batch_size, 1))), (imgs,
-                                                                   updates)
+            return bce_logits(logits, valid_d), (imgs, updates)
 
         (g_loss, (gen_imgs, g_updates)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True

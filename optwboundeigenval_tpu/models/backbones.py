@@ -76,8 +76,11 @@ class _Bottleneck(nn.Module):
         y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(y)
         y = relu(y)
-        y = nn.Conv(self.filters, (3, 3), strides=self.strides, padding="SAME",
-                    use_bias=False, dtype=self.dtype)(y)
+        # explicit symmetric padding: torch's pad=1 — for the stride-2
+        # blocks "SAME" would pad (0,1) on even inputs, a one-pixel
+        # sampling shift vs torchvision
+        y = nn.Conv(self.filters, (3, 3), strides=self.strides,
+                    padding=(1, 1), use_bias=False, dtype=self.dtype)(y)
         y = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(y)
         y = relu(y)
         y = nn.Conv(self.filters * 4, (1, 1), use_bias=False, dtype=self.dtype)(y)

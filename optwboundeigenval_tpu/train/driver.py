@@ -114,6 +114,11 @@ def run(options: Dict[str, Any]) -> SpectralTrainer:
         from optwboundeigenval_tpu.models.backbones import load_pretrained_npz
 
         loader0 = train_loader or (test_loaders[0] if test_loaders else None)
+        if loader0 is None:
+            raise ValueError(
+                "pretrained_npz requires a train or test loader to "
+                "provide an example batch for parameter initialization"
+            )
         trainer.init_state(next(iter(loader0)))
         overlaid = load_pretrained_npz(
             {"params": trainer.params, **dict(trainer.model_state)},

@@ -327,7 +327,16 @@ class SpectralTrainer:
             err_fn = None
             if getattr(self.optimizer, "wants_err", False):
                 # EntropySGD closure protocol (opt.py:673-687): report
-                # (loss, err%) on the current batch alongside the step
+                # (loss, err%) on the current batch alongside the step.
+                # Documented deviations from the reference closure: the
+                # multi-label threshold is logits > 0 == sigmoid > 0.5
+                # (the reference thresholds the raw output at 0.5,
+                # opt.py:677-679 — equivalent for its sigmoid-head CXR
+                # models, different for raw-logit heads, where 0.5-on-
+                # logits is the quirk, not the intent), and the forward
+                # is eval-mode predict (frozen BN stats) rather than
+                # reusing the train-mode outputs.  err% is diagnostics
+                # only — it never feeds the update direction.
                 def err_fn(p):
                     out = self.task.predict(p, model_state, batch)
                     loss_val = self.task.loss(out, batch["y"], batch.get("w"))
@@ -925,6 +934,11 @@ class SpectralTrainer:
         holds that many batches' activations live at once, so large
         test sets run as a few fused calls instead of one giant one.
         """
+        if self.precond_builder is not None:
+            # the K-FAC preconditioner is sequential state (factor
+            # refresh between batches) — dispatch to the sequential
+            # audit so preconditioned results stay comparable
+            return self.rho_test(x=x, y=y, loader=loader, fname=fname)
         if fname is not None:
             self.model_load(fname)
         if loader is None:

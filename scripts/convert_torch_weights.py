@@ -142,27 +142,38 @@ def convert_alexnet_features(sd):
 
 def convert_resnet50_features(sd):
     """torchvision resnet50 (minus avgpool/fc) →
-    backbones.ResNet50Features.  Walk order mirrors
-    ResNet50Features/_Bottleneck.__call__ (backbones.py:67-111): stem
-    conv+bn, then per block conv1/bn1, conv2/bn2, conv3/bn3, and the
-    downsample conv+bn LAST (created inside the needs_proj branch)."""
+    backbones.ResNet50Features.
+
+    Unlike the inline-compact backbones, each bottleneck is a NESTED
+    flax submodule (``_Bottleneck_{k}``) with its OWN auto-name
+    counters (backbones.py:70-111), so the emitter is scoped per
+    block: stem conv+bn at top level, then per block conv1/bn1,
+    conv2/bn2, conv3/bn3, and the downsample conv+bn LAST (created
+    inside the needs_proj branch → ``Conv_3``/``BatchNorm_3``)."""
     sd = normalize_keys(sd)
     e = _Emitter()
     e.conv(sd, "conv1")
     e.bn(sd, "bn1")
+    out = dict(e.out)
+    block = 0
     for stage, n_blocks in enumerate((3, 4, 6, 3), start=1):
         for b in range(n_blocks):
             p = f"layer{stage}.{b}"
-            e.conv(sd, f"{p}.conv1")
-            e.bn(sd, f"{p}.bn1")
-            e.conv(sd, f"{p}.conv2")
-            e.bn(sd, f"{p}.bn2")
-            e.conv(sd, f"{p}.conv3")
-            e.bn(sd, f"{p}.bn3")
+            be = _Emitter()
+            be.conv(sd, f"{p}.conv1")
+            be.bn(sd, f"{p}.bn1")
+            be.conv(sd, f"{p}.conv2")
+            be.bn(sd, f"{p}.bn2")
+            be.conv(sd, f"{p}.conv3")
+            be.bn(sd, f"{p}.bn3")
             if f"{p}.downsample.0.weight" in sd:
-                e.conv(sd, f"{p}.downsample.0")
-                e.bn(sd, f"{p}.downsample.1")
-    return e.out
+                be.conv(sd, f"{p}.downsample.0")
+                be.bn(sd, f"{p}.downsample.1")
+            for k, v in be.out.items():
+                coll, rest = k.split("/", 1)
+                out[f"{coll}/_Bottleneck_{block}/{rest}"] = v
+            block += 1
+    return out
 
 
 CONVERTERS = {

@@ -53,7 +53,9 @@ def parse_args(argv=None):
     p.add_argument("--rand", type=float, default=0.3,
                    help="amount to randomly fudge labels")
     p.add_argument("--smooth", type=float, default=0.0,
-                   help="deterministic label smoothing (alternative to --rand)")
+                   help="deterministic label smoothing (extension; "
+                        "implies --rand 0 unless --rand is given "
+                        "explicitly)")
     p.add_argument("--swap", type=float, default=0.01,
                    help="probability of swapping labels")
     p.add_argument("--d_iter", type=int, default=1)
@@ -104,6 +106,12 @@ def main(argv=None):
                          img_shape=img_shape)
         d = MLPDiscriminator(n_classes=args.n_classes, n=args.nodes)
         out = args.out
+
+    # --smooth is an extension that replaces the reference's random
+    # label fudging; unless the user explicitly asked for both (an
+    # error in train_cgan), smoothing turns the default --rand 0.3 off
+    if args.smooth > 0 and "--rand" not in sys.argv:
+        args.rand = 0.0
 
     ckpt = os.path.join(args.models_dir,
                         ("dc_" if args.dc else "") + "cgan_generator.msgpack")

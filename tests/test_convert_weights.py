@@ -164,3 +164,103 @@ def test_load_torch_checkpoint_usps(torch_densenet, tmp_path):
         np.asarray(jax.nn.softmax(logits, axis=-1)), ref_out,
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_resnet50_feature_agreement(torch_densenet, tmp_path):
+    """The resnet50 converter must scope names per nested
+    _Bottleneck_{k} submodule (unlike the inline-compact backbones) —
+    a random torchvision resnet50 converted + overlaid must reproduce
+    the torch feature maps."""
+    torch, _ = torch_densenet
+    import jax
+    import jax.numpy as jnp
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from optwboundeigenval_tpu.models.backbones import (
+        ResNet50Features,
+        load_pretrained_npz,
+    )
+    from scripts.convert_torch_weights import convert_resnet50_features
+
+    # torchvision is not installed in this image (stubbed by _refenv),
+    # so replicate torchvision.models.resnet50's architecture AND
+    # state_dict naming (layer{s}.{b}.conv1/bn1/.../downsample.{0,1})
+    class TorchBottleneck(nn.Module):
+        def __init__(self, cin, f, stride):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, f, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(f)
+            self.conv2 = nn.Conv2d(f, f, 3, stride=stride, padding=1,
+                                   bias=False)
+            self.bn2 = nn.BatchNorm2d(f)
+            self.conv3 = nn.Conv2d(f, f * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(f * 4)
+            self.downsample = None
+            if stride != 1 or cin != f * 4:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, f * 4, 1, stride=stride, bias=False),
+                    nn.BatchNorm2d(f * 4),
+                )
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            y = F.relu(self.bn1(self.conv1(x)))
+            y = F.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            return F.relu(idt + y)
+
+    class TorchResNet50(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3,
+                                   bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            cin = 64
+            for s, (n, f) in enumerate(
+                zip((3, 4, 6, 3), (64, 128, 256, 512)), start=1
+            ):
+                blocks = []
+                for b in range(n):
+                    stride = 2 if (s > 1 and b == 0) else 1
+                    blocks.append(TorchBottleneck(cin, f, stride))
+                    cin = f * 4
+                setattr(self, f"layer{s}", nn.Sequential(*blocks))
+
+        def forward(self, x):
+            x = F.relu(self.bn1(self.conv1(x)))
+            x = F.max_pool2d(x, 3, 2, padding=1)
+            for s in range(1, 5):
+                x = getattr(self, f"layer{s}")(x)
+            return x
+
+    torch.manual_seed(1)
+    model = TorchResNet50()
+    sd = {k: v.numpy().copy() for k, v in model.state_dict().items()}
+    out = convert_resnet50_features(sd)
+    npz = tmp_path / "rn50.npz"
+    np.savez(npz, **out)
+
+    feat = ResNet50Features()
+    x = np.random.default_rng(1).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    variables = dict(feat.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                               train=False))
+    # every parameter in the tree must be covered by the npz (no
+    # silently-kept random init — the bug this test pins)
+    names = set(np.load(npz).files)
+    leaves = jax.tree_util.tree_leaves_with_path(variables["params"])
+    for path, _ in leaves:
+        key = "params/" + "/".join(p.key for p in path)
+        assert key in names, f"converter missed {key}"
+    variables = load_pretrained_npz(variables, str(npz))
+    y_flax = feat.apply(variables, jnp.asarray(x), train=False)
+
+    model.eval()
+    with torch.no_grad():
+        t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        y_torch = model(t).numpy().transpose(0, 2, 3, 1)
+
+    assert y_flax.shape == y_torch.shape
+    np.testing.assert_allclose(
+        np.asarray(y_flax), y_torch, rtol=1e-3, atol=1e-3
+    )
