@@ -139,7 +139,14 @@ def EntropySGD(
         else:
             outer_grad = direction
 
-        dw, mdw = momentum_step(outer_grad, state.mdw, wc)
+        # the reference warm-starts the outer momentum buffer with the
+        # entry gradient on the FIRST step (state['mdw'] =
+        # deepcopy(w.grad.data), optim.py:43-46) — not zeros
+        first = state.t == 0
+        mdw_prev = jax.tree.map(
+            lambda z, d: jnp.where(first, d, z), state.mdw, direction
+        )
+        dw, mdw = momentum_step(outer_grad, mdw_prev, wc)
         new_params = jax.tree.map(lambda p, d: p - state.lr * d, wc, dw)
         return new_params, EntropySGDState(t=state.t + 1, mdw=mdw,
                                            lr=state.lr, mf=mf, merr=merr)

@@ -1,0 +1,207 @@
+"""Optimizer-protocol head-to-head vs the ACTUAL reference optimizers
+(sam.py, optim.py — executed as-is, torch CPU).
+
+One deterministic step on the Forest MLP at identical torch-init
+weights and an identical batch: the updated parameter trees must agree
+to f32 tolerance.  EntropySGD runs with eps=0 (no Langevin noise) so
+the inner SGLD mean-dynamics are deterministic on both sides.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference checkout absent"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_env():
+    from benchmarks.parity import _refenv
+
+    _refenv.install()
+    torch = pytest.importorskip("torch")
+    return torch
+
+
+def _setup(torch, seed=0):
+    """Reference Net + converted flax params + one pinned batch."""
+    import jax.numpy as jnp
+
+    from benchmarks.parity.jax_driver import convert_forest
+    from forest_data import Net
+
+    torch.manual_seed(seed)
+    model = Net()
+    sd = {k: v.numpy().copy() for k, v in model.state_dict().items()}
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(64, 54)).astype(np.float32)
+    y = rng.integers(0, 7, size=64).astype(np.int64)
+
+    import jax
+
+    from optwboundeigenval_tpu.models import ForestNet
+    from optwboundeigenval_tpu.train import Task
+    from optwboundeigenval_tpu.train.task import cross_entropy_double_softmax
+
+    task = Task(model=ForestNet(), loss=cross_entropy_double_softmax)
+    p0, _ = task.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = jax.tree.map(
+        lambda t, v: jnp.asarray(v, t.dtype), p0, convert_forest(sd)
+    )
+    batch = {
+        "x": jnp.asarray(x),
+        "y": jnp.asarray(y.astype(np.int32)),
+        "w": jnp.ones(64, jnp.float32),
+    }
+    loss_fn = task.loss_fn({}, None)
+    return model, (x, y), params, batch, loss_fn
+
+
+def _assert_trees_match(torch_model, jax_params, rtol=2e-5, atol=1e-6):
+    from benchmarks.parity.jax_driver import convert_forest
+
+    sd = {k: v.detach().numpy().copy()
+          for k, v in torch_model.state_dict().items()}
+    expect = convert_forest(sd)
+    for layer in expect:
+        for leaf in expect[layer]:
+            np.testing.assert_allclose(
+                np.asarray(jax_params[layer][leaf]), expect[layer][leaf],
+                rtol=rtol, atol=atol, err_msg=f"{layer}/{leaf}",
+            )
+
+
+def test_sam_one_step_parity(ref_env):
+    """SAM two-pass protocol (sam.py:17-40, opt.py:688-694): perturb by
+    rho*g/|g|, re-grad at the perturbed point, restore, base-SGD step."""
+    torch = ref_env
+    import torch.nn as nn
+
+    import jax
+
+    from sam import SAM as RefSAM
+
+    from optwboundeigenval_tpu.optim import sgd
+    from optwboundeigenval_tpu.optim.sam import SAM
+
+    for adaptive in (False, True):
+        model, (x, y), params, batch, loss_fn = _setup(torch, seed=1)
+        x_t, y_t = torch.from_numpy(x), torch.from_numpy(y)
+        crit = nn.CrossEntropyLoss()
+
+        ref_opt = RefSAM(model.parameters(), torch.optim.SGD, rho=0.05,
+                         adaptive=adaptive, lr=0.1)
+        model.zero_grad()
+        crit(model(x_t), y_t).backward()
+        ref_opt.first_step(zero_grad=True)
+        crit(model(x_t), y_t).backward()
+        ref_opt.second_step()
+
+        opt = SAM(sgd(0.1), rho=0.05, adaptive=adaptive)
+        state = opt.init(params)
+        grad_fn = lambda p: jax.value_and_grad(loss_fn)(p, batch)
+        _, g = grad_fn(params)
+        new_params, _ = opt.step(g, state, params, grad_fn=grad_fn)
+
+        _assert_trees_match(model, new_params)
+
+
+def test_entropy_sgd_one_step_parity(ref_env):
+    """EntropySGD (optim.py:21-104) with eps=0: L deterministic inner
+    SGLD steps (recomputed gradients — the upstream closure protocol),
+    anchor restore, outer nesterov-momentum step on w - <w>, with the
+    reference's first-step momentum warm start (optim.py:43-46)."""
+    torch = ref_env
+    import torch.nn as nn
+
+    import jax
+
+    from optim import EntropySGD as RefEntropySGD
+
+    from optwboundeigenval_tpu.optim.entropy_sgd import EntropySGD
+
+    model, (x, y), params, batch, loss_fn = _setup(torch, seed=2)
+    x_t, y_t = torch.from_numpy(x), torch.from_numpy(y)
+    crit = nn.CrossEntropyLoss()
+
+    cfg = dict(lr=0.1, momentum=0.9, damp=0.0, weight_decay=0.0,
+               nesterov=True, L=3, eps=0.0, g0=1e-2, g1=1e-3)
+    ref_opt = RefEntropySGD(model.parameters(), dict(cfg))
+
+    def closure():
+        model.zero_grad()
+        loss = crit(model(x_t), y_t)
+        loss.backward()
+        return loss, 0.0
+
+    ref_opt.step(closure=closure, model=model, criterion=crit)
+
+    opt = EntropySGD(recompute_grads=True, **cfg)
+    state = opt.init(params)
+    grad_fn = lambda p: jax.value_and_grad(loss_fn)(p, batch)
+    _, g = grad_fn(params)
+    new_params, _ = opt.step(
+        g, state, params, grad_fn=grad_fn, rng=jax.random.PRNGKey(0)
+    )
+
+    _assert_trees_match(model, new_params)
+
+
+def test_kfac_one_step_parity(ref_env):
+    """KFACOptimizer head-to-head (kfac.py, executed as-is): identity-
+    seeded running factors, eigendecomposed inverses, natural gradient,
+    KL clip, momentum step — one step with TCov=TInv=1 on the Forest
+    MLP (including its fc2-applied-twice weight reuse) must produce the
+    same updated parameters."""
+    torch = ref_env
+    import torch.nn as nn
+
+    import jax
+
+    from kfac import KFACOptimizer as RefKFAC
+
+    from optwboundeigenval_tpu.ops import kfac as kfac_ops
+    from optwboundeigenval_tpu.optim.kfac_optimizer import KFAC
+
+    model, (x, y), params, batch, loss_fn = _setup(torch, seed=3)
+    x_t, y_t = torch.from_numpy(x), torch.from_numpy(y)
+    crit = nn.CrossEntropyLoss()
+
+    hp = dict(lr=0.1, momentum=0.9, stat_decay=0.95, damping=0.001,
+              kl_clip=0.001, weight_decay=0.0, TCov=1, TInv=1,
+              batch_averaged=True)
+    ref_opt = RefKFAC(model, **hp)
+    ref_opt.acc_stats = True
+    model.zero_grad()
+    crit(model(x_t), y_t).backward()
+    ref_opt.step()
+
+    from optwboundeigenval_tpu.models import ForestNet
+    from optwboundeigenval_tpu.train import Task
+    from optwboundeigenval_tpu.train.task import cross_entropy_double_softmax
+
+    task = Task(model=ForestNet(), loss=cross_entropy_double_softmax)
+    opt = KFAC(kfac_rand=False, **hp)
+    state = opt.init(params)
+    state = opt.build_extra_state(
+        state, task, params, {}, batch, jax.random.PRNGKey(0)
+    )
+    grad_fn = lambda p: jax.value_and_grad(loss_fn)(p, batch)
+    _, g = grad_fn(params)
+
+    def stats_fn(p, r):
+        _, caps = kfac_ops.capture(
+            task, p, {}, batch, r, sample_targets=False
+        )
+        return caps
+
+    new_params, _ = opt.step(
+        g, state, params, grad_fn=grad_fn,
+        rng=jax.random.PRNGKey(1), stats_fn=stats_fn,
+    )
+
+    _assert_trees_match(model, new_params, rtol=5e-4, atol=5e-6)
