@@ -205,3 +205,89 @@ def test_kfac_one_step_parity(ref_env):
     )
 
     _assert_trees_match(model, new_params, rtol=5e-4, atol=5e-6)
+
+
+def test_asymmetric_valley_epochs_parity(ref_env, tmp_path):
+    """AsymmetricValley SWA phase head-to-head (asymmetric_valley.py,
+    executed as-is): 4 epochs on the Forest MLP with the trapezoid
+    schedule and SWA averaging from epoch 2 — per-epoch train loss, the
+    SGD parameters, AND the SWA average must match."""
+    torch = ref_env
+    import torch.nn as nn
+    import torch.utils.data as utils_data
+
+    from benchmarks.parity.jax_driver import convert_forest
+
+    model, (x, y), params, batch, loss_fn = _setup(torch, seed=4)
+    n = 256
+    rng = np.random.default_rng(11)
+    xb = rng.normal(size=(n, 54)).astype(np.float32)
+    yb = rng.integers(0, 7, size=n).astype(np.int64)
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        from asymmetric_valley import AsymmetricValley
+
+        topt = torch.optim.SGD(model.parameters(), lr=0.1, momentum=0.9)
+        av = AsymmetricValley(
+            model, nn.CrossEntropyLoss(), topt, batch_size=64,
+            swa=True, swa_start=2, sgd_start=100, swa_c_epochs=1,
+            swa_lr=0.05, eval_freq=1, save_freq=100, max_iter=4,
+        )
+        ds = utils_data.TensorDataset(
+            torch.from_numpy(xb), torch.from_numpy(yb)
+        )
+        av.dataloader = utils_data.DataLoader(ds, batch_size=64,
+                                              shuffle=False)
+        ref_f = []
+        for i in range(4):
+            av.i = i
+            av.iter()
+            ref_f.append(float(av.f))
+    finally:
+        os.chdir(cwd)
+
+    # ---- ours ----
+    import jax
+
+    from optwboundeigenval_tpu.data.loaders import ArrayLoader
+    from optwboundeigenval_tpu.models import ForestNet
+    from optwboundeigenval_tpu.optim import sgd
+    from optwboundeigenval_tpu.train import Task
+    from optwboundeigenval_tpu.train.asymmetric_valley import (
+        AsymmetricValleyTrainer,
+    )
+    from optwboundeigenval_tpu.train.task import cross_entropy_double_softmax
+
+    task = Task(model=ForestNet(), loss=cross_entropy_double_softmax)
+    tr = AsymmetricValleyTrainer(
+        task, sgd(0.1, momentum=0.9), swa=True, swa_start=2,
+        sgd_start=100, swa_c_epochs=1, swa_lr=0.05, eval_freq=1,
+        save_freq=100, max_iter=4, batch_size=64, header="AVPAR",
+        log_dir=str(tmp_path / "logs"), model_dir=str(tmp_path / "models"),
+    )
+    loader = ArrayLoader(xb, yb.astype(np.int32), batch_size=64,
+                         shuffle=False)
+    tr.init_state(next(iter(loader)))
+    tr.params = params
+    jax_f = []
+    for i in range(4):
+        tr.i = i
+        tr.iter_epoch(loader)
+        jax_f.append(float(tr.f))
+
+    np.testing.assert_allclose(jax_f, ref_f, rtol=2e-5)
+    _assert_trees_match(av.model, tr.params, rtol=5e-5, atol=1e-6)
+
+    # SWA average (2 averaging events: epochs 2 and 3 -> swa_n == 2)
+    assert tr.swa_n == av.swa_n == 3
+    sd_swa = {k: v.detach().numpy().copy()
+              for k, v in av.swa_model.state_dict().items()}
+    expect = convert_forest(sd_swa)
+    for layer in expect:
+        for leaf in expect[layer]:
+            np.testing.assert_allclose(
+                np.asarray(tr.swa_params[layer][leaf]), expect[layer][leaf],
+                rtol=5e-5, atol=1e-6, err_msg=f"swa {layer}/{leaf}",
+            )
