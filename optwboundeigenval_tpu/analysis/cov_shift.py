@@ -107,8 +107,12 @@ def test_model_cov(
             w = np.ones(nreal)
         wm = float(np.mean(w))
         wm_list.append(wm)
-        min_weight = min(min_weight, float(np.min(w)))
-        max_weight = max(max_weight, float(np.max(w)))
+        # reference quirk preserved (opt.py:1152-1153): min/max track
+        # np.min(wm)/np.max(wm) of the SCALAR batch mean — i.e. the
+        # extreme per-batch MEAN weight seeded at 1, not the extreme
+        # per-example weight the variable names suggest
+        min_weight = min(min_weight, wm)
+        max_weight = max(max_weight, wm)
         weights = w / (wm * nreal)
         acc = float(np.sum(weights * (predicted == target))) * 100
         f_list.append(float(loss))

@@ -1,0 +1,112 @@
+"""Analysis-layer head-to-head vs the reference implementation
+(executed as-is, torch CPU): covariate-shift log-densities and the full
+importance-weighted test_model_cov metric protocol."""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference checkout absent"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_env():
+    from benchmarks.parity import _refenv
+
+    _refenv.install()
+    torch = pytest.importorskip("torch")
+    return torch
+
+
+def test_get_prob_parity(ref_env):
+    """get_prob (opt.py:1858-1880): per-feature (skew-)normal log
+    densities, broadcast of scalar m/sd/skew, summed per row."""
+    import opt as ref_opt
+
+    from optwboundeigenval_tpu.analysis.cov_shift import get_prob
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(32, 6))
+
+    cases = [
+        dict(m=[0], sd=[1], skew=[0]),                       # pure normal
+        dict(m=[0.3], sd=[2.0], skew=[0]),                   # scalar bcast
+        dict(m=[0, 1, -1, 0.5, 0, 2], sd=[1], skew=[0]),     # vector mean
+        dict(m=[0], sd=[1], skew=[4]),                       # skew-normal
+        dict(m=[0, 1, -1, 0.5, 0, 2],
+             sd=[1, 2, 0.5, 1, 3, 1],
+             skew=[4, 0, -3, 1, 0, 2]),                      # full vectors
+    ]
+    for c in cases:
+        ref = ref_opt.get_prob(x.copy(), **c)
+        ours = get_prob(x.copy(), **c)
+        np.testing.assert_allclose(ours, ref, rtol=1e-10, err_msg=str(c))
+
+
+def test_test_model_cov_parity(ref_env):
+    """test_model_cov (opt.py:1095-1174) on the Forest MLP at identical
+    weights: mode selection, exp(log p_test - log p_train) importance
+    weights, per-batch wm normalization, weighted acc*100, micro-F1
+    with sample weights, and the size*wm batch aggregation."""
+    torch = ref_env
+    import torch.nn as nn
+
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.parity.jax_driver import convert_forest
+    from forest_data import Net
+    import opt as ref_opt
+
+    from optwboundeigenval_tpu.analysis.cov_shift import test_model_cov
+    from optwboundeigenval_tpu.models import ForestNet
+    from optwboundeigenval_tpu.train import SpectralTrainer, Task
+    from optwboundeigenval_tpu.train.task import cross_entropy_double_softmax
+
+    torch.manual_seed(5)
+    model = Net()
+    sd = {k: v.numpy().copy() for k, v in model.state_dict().items()}
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(300, 54)).astype(np.float32)
+    y = rng.integers(0, 7, size=300).astype(np.int64)
+
+    shift = dict(
+        test_mean=[0.2] + [0] * 53, test_sd=[1.5] + [1] * 53,
+        test_skew=[0] * 54, train_mean=[0] * 54, train_sd=[1] * 54,
+        train_skew=[0] * 54,
+    )
+
+    ref = ref_opt.OptWBoundEignVal(
+        model, nn.CrossEntropyLoss(),
+        torch.optim.SGD(model.parameters(), lr=0.1),
+        batch_size=128, max_iter=1, use_gpu=False,
+    )
+    ref_out = ref.test_model_cov(
+        torch.from_numpy(x), torch.from_numpy(y), **shift
+    )
+
+    task = Task(model=ForestNet(), loss=cross_entropy_double_softmax)
+    tr = SpectralTrainer(task, __import__(
+        "optwboundeigenval_tpu.optim", fromlist=["sgd"]).sgd(0.1),
+        batch_size=128, header="COVPAR", log_dir="/tmp/covpar_logs",
+        model_dir="/tmp/covpar_models")
+    loader_batch = {
+        "x": jnp.asarray(x[:128]),
+        "y": jnp.asarray(y[:128].astype(np.int32)),
+        "w": jnp.ones(128, jnp.float32),
+    }
+    tr.init_state(loader_batch)
+    p0 = tr.params
+    tr.params = jax.tree.map(
+        lambda t, v: jnp.asarray(v, t.dtype), p0, convert_forest(sd)
+    )
+    ours = test_model_cov(tr, x, y.astype(np.int32), **shift)
+
+    for a, b, name in zip(
+        ours, ref_out, ("loss", "acc", "f1", "min_w", "max_w")
+    ):
+        np.testing.assert_allclose(a, b, rtol=2e-5, err_msg=name)
