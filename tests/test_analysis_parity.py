@@ -110,3 +110,150 @@ def test_test_model_cov_parity(ref_env):
         ours, ref_out, ("loss", "acc", "f1", "min_w", "max_w")
     ):
         np.testing.assert_allclose(a, b, rtol=2e-5, err_msg=name)
+
+
+def _forest_pair(torch, seed):
+    """Reference Net + our trainer at identical converted weights."""
+    import jax
+    import jax.numpy as jnp
+    import torch.nn as nn
+
+    from benchmarks.parity.jax_driver import convert_forest
+    from forest_data import Net
+    import opt as ref_opt
+
+    from optwboundeigenval_tpu.models import ForestNet
+    from optwboundeigenval_tpu.optim import sgd
+    from optwboundeigenval_tpu.train import SpectralTrainer, Task
+    from optwboundeigenval_tpu.train.task import cross_entropy_double_softmax
+
+    torch.manual_seed(seed)
+    model = Net()
+    sd = {k: v.numpy().copy() for k, v in model.state_dict().items()}
+    ref = ref_opt.OptWBoundEignVal(
+        model, nn.CrossEntropyLoss(),
+        torch.optim.SGD(model.parameters(), lr=0.1),
+        batch_size=128, max_iter=1, use_gpu=False,
+    )
+
+    task = Task(model=ForestNet(), loss=cross_entropy_double_softmax)
+    tr = SpectralTrainer(
+        task, sgd(0.1), batch_size=128, header=f"TMPAR{seed}",
+        log_dir="/tmp/tmpar_logs", model_dir="/tmp/tmpar_models",
+    )
+    rng = np.random.default_rng(seed)
+    x0 = rng.normal(size=(128, 54)).astype(np.float32)
+    tr.init_state({
+        "x": jnp.asarray(x0),
+        "y": jnp.zeros(128, jnp.int32),
+        "w": jnp.ones(128, jnp.float32),
+    })
+    tr.params = jax.tree.map(
+        lambda t, v: jnp.asarray(v, t.dtype), tr.params, convert_forest(sd)
+    )
+    return ref, tr
+
+
+def test_test_model_protocol_parity(ref_env):
+    """test_model (opt.py:912-1039) on identical weights/data: weighted
+    loss + accuracy + micro-F1, including a partial final batch and the
+    class-subset remap path (classes/model_classes)."""
+    torch = ref_env
+
+    ref, tr = _forest_pair(torch, seed=6)
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(300, 54)).astype(np.float32)  # 300 = 2x128 + 44
+    y = rng.integers(0, 7, size=300).astype(np.int64)
+
+    ref_loss, ref_acc, ref_f1 = ref.test_model(
+        x=torch.from_numpy(x), y=torch.from_numpy(y)
+    )
+    loss, acc, f1 = tr.test_model(x=x, y=y.astype(np.int32))
+    np.testing.assert_allclose(loss, ref_loss, rtol=2e-5)
+    np.testing.assert_allclose(acc, ref_acc, rtol=2e-5)
+    np.testing.assert_allclose(f1, ref_f1, rtol=2e-5)
+
+    # class-subset remap (opt.py:555-563): multilabel targets only
+    # (the reference indexes target[:, classes] — the CXR comp_test
+    # path, W-BCE loss); dataset classes {0,1,2} remap to model
+    # columns {4,5,6}
+    import torch.nn as nn
+
+    import jax
+    import jax.numpy as jnp
+    import opt as ref_opt
+    from dcnn import W_BCEWithLogitsLoss
+    from forest_data import Net
+    from benchmarks.parity.jax_driver import convert_forest
+
+    from optwboundeigenval_tpu.models import ForestNet
+    from optwboundeigenval_tpu.optim import sgd
+    from optwboundeigenval_tpu.train import SpectralTrainer, Task
+    from optwboundeigenval_tpu.train.task import weighted_bce_with_logits
+
+    torch.manual_seed(8)
+    model2 = Net()
+    sd2 = {k: v.numpy().copy() for k, v in model2.state_dict().items()}
+    ref2 = ref_opt.OptWBoundEignVal(
+        model2, W_BCEWithLogitsLoss(),
+        torch.optim.SGD(model2.parameters(), lr=0.1),
+        batch_size=128, max_iter=1, use_gpu=False, test_func="acc",
+    )
+    ym = (rng.random(size=(300, 3)) > 0.5).astype(np.float32)
+    ref_out = ref2.test_model(
+        x=torch.from_numpy(x), y=torch.from_numpy(ym),
+        classes=[0, 1, 2], model_classes=[4, 5, 6],
+    )
+
+    # the reference Net softmaxes IN-MODEL (forest_data.py:88), so its
+    # W-BCE sees probabilities — wrap ForestNet the same way
+    import flax.linen as fnn
+
+    class SoftmaxForest(fnn.Module):
+        @fnn.compact
+        def __call__(self, xx, train=False):
+            return jax.nn.softmax(ForestNet()(xx, train), axis=-1)
+
+    task2 = Task(model=SoftmaxForest(), loss=weighted_bce_with_logits)
+    tr2 = SpectralTrainer(
+        task2, sgd(0.1), batch_size=128, test_func="acc",
+        header="TMPARM", log_dir="/tmp/tmpar_logs",
+        model_dir="/tmp/tmpar_models",
+    )
+    tr2.init_state({
+        "x": jnp.asarray(x[:128]),
+        "y": jnp.zeros((128, 3), jnp.float32),
+        "w": jnp.ones(128, jnp.float32),
+    })
+    tr2.params = jax.tree.map(
+        lambda t, v: jnp.asarray(v, t.dtype), tr2.params,
+        {"ForestNet_0": convert_forest(sd2)},
+    )
+    ours = tr2.test_model(
+        x=x, y=ym, classes=[0, 1, 2], model_classes=[4, 5, 6],
+    )
+    for a, b, name in zip(ours, ref_out, ("loss", "acc", "f1")):
+        np.testing.assert_allclose(a, b, rtol=2e-5, err_msg=name)
+
+
+def test_vae_loss_parity(ref_env):
+    """VLoss (dcnn.py:403-414): W-BCE reconstruction + w * KL."""
+    torch = ref_env
+
+    from dcnn import VLoss
+
+    from optwboundeigenval_tpu.models.vae import vae_loss
+
+    rng = np.random.default_rng(7)
+    logits = rng.normal(size=(8, 40)).astype(np.float32)
+    target = (rng.random(size=(8, 40)) > 0.5).astype(np.float32)
+    mu = rng.normal(size=(8, 5)).astype(np.float32)
+    logvar = rng.normal(size=(8, 5)).astype(np.float32)
+
+    for w in (0.0, 0.3):
+        ref = float(VLoss(w=w)(
+            torch.from_numpy(logits), torch.from_numpy(target),
+            torch.from_numpy(mu), torch.from_numpy(logvar),
+        ))
+        ours = float(vae_loss((logits, mu, logvar), target, kl_weight=w))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, err_msg=f"w={w}")
