@@ -401,3 +401,27 @@ def test_saliency_gradient_parity(ref_env):
     np.testing.assert_allclose(
         ours, ref_grads.reshape(4, 16, 16), rtol=1e-3, atol=1e-6
     )
+
+
+def test_f1_max_cutoff_parity(ref_env):
+    """jaccard threshold selection (opt.py:1460-1465): per-class PR
+    curve, F1 = 2pr/(p+r), threshold at nanargmax."""
+    from sklearn.metrics import precision_recall_curve
+
+    from optwboundeigenval_tpu.analysis.jaccard import f1_max_cutoffs
+
+    rng = np.random.default_rng(12)
+    labels = (rng.random(size=(200, 5)) > 0.6).astype(float)
+    labels[rng.random(size=labels.shape) < 0.05] = np.nan
+    scores = rng.random(size=(200, 5))
+
+    ours = f1_max_cutoffs(labels, scores)
+    for i in range(5):
+        li, si = labels[:, i], scores[:, i]
+        good = li == li  # the reference masks NaN labels upstream
+        li, si = li[good], si[good]
+        np.seterr(invalid="ignore")
+        precision, recall, thresholds = precision_recall_curve(li, si)
+        f1 = np.divide(2 * precision * recall, precision + recall)
+        expect = thresholds[np.nanargmax(f1)]  # opt.py:1462-1465 verbatim math
+        np.testing.assert_allclose(ours[i], expect, err_msg=f"class {i}")
