@@ -425,3 +425,77 @@ def test_f1_max_cutoff_parity(ref_env):
         f1 = np.divide(2 * precision * recall, precision + recall)
         expect = thresholds[np.nanargmax(f1)]  # opt.py:1462-1465 verbatim math
         np.testing.assert_allclose(ours[i], expect, err_msg=f"class {i}")
+
+
+def test_rho_test_protocol_parity(ref_env, tmp_path):
+    """rho_test (opt.py:882-910): per-batch (rho, norm, iters,
+    res_change) CSV with the eigenvector carried batch to batch, at
+    identical weights on identical batches."""
+    torch = ref_env
+    import torch.nn as nn
+
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.parity.jax_driver import convert_forest
+    from forest_data import Net
+    import opt as ref_opt
+
+    from optwboundeigenval_tpu.data.loaders import ArrayLoader
+    from optwboundeigenval_tpu.models import ForestNet
+    from optwboundeigenval_tpu.optim import sgd
+    from optwboundeigenval_tpu.train import SpectralTrainer, Task
+    from optwboundeigenval_tpu.train.task import cross_entropy_double_softmax
+
+    torch.manual_seed(13)
+    model = Net()
+    sd = {k: v.numpy().copy() for k, v in model.state_dict().items()}
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(256, 54)).astype(np.float32)
+    y = rng.integers(0, 7, size=256).astype(np.int64)
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    try:
+        ref = ref_opt.OptWBoundEignVal(
+            model, nn.CrossEntropyLoss(),
+            torch.optim.SGD(model.parameters(), lr=0.1),
+            batch_size=64, max_iter=1, use_gpu=False,
+            pow_iter_eps=1e-3, max_pow_iter=100, ignore_bad_vals=False,
+        )
+        ref.rho_test(x=torch.from_numpy(x), y=torch.from_numpy(y))
+        ref_csv = np.loadtxt(f"logs/{ref.header2}_rho_test.csv",
+                             delimiter=",")
+    finally:
+        os.chdir(cwd)
+
+    task = Task(model=ForestNet(), loss=cross_entropy_double_softmax)
+    tr = SpectralTrainer(
+        task, sgd(0.1), batch_size=64, pow_iter_eps=1e-3,
+        max_pow_iter=100, ignore_bad_vals=False, header="RHOPAR",
+        log_dir=str(tmp_path / "jlogs"), model_dir=str(tmp_path / "jmodels"),
+    )
+    loader = ArrayLoader(x, y.astype(np.int32), batch_size=64,
+                         shuffle=False)
+    tr.init_state(next(iter(loader)))
+    tr.params = jax.tree.map(
+        lambda t, v: jnp.asarray(v, t.dtype), tr.params, convert_forest(sd)
+    )
+    tr.rho_test(loader=loader)
+    our_csv = np.loadtxt(
+        str(tmp_path / "jlogs" / f"{tr.header2}_rho_test.csv"),
+        delimiter=",",
+    )
+
+    assert our_csv.shape == ref_csv.shape == (4, 6)
+    # columns: batch, rho, norm, iters, res_change, time (time excluded)
+    np.testing.assert_allclose(our_csv[:, 1], ref_csv[:, 1], rtol=1e-4,
+                               err_msg="rho")
+    # the reference's iters column is the 0-based loop index at break
+    # (a loop-variable leak, opt.py:905); ours is the HVP count —
+    # exactly one more (documented in PARITY.md)
+    np.testing.assert_allclose(our_csv[:, 3], ref_csv[:, 3] + 1,
+                               err_msg="iters")
+    np.testing.assert_allclose(our_csv[:, 2], ref_csv[:, 2], rtol=1e-2,
+                               atol=1e-5, err_msg="norm")
