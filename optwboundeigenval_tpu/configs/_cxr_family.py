@@ -61,6 +61,9 @@ def chestxray_config(
         "pow_iter": pow_iter,
         "pow_iter_eps": 0.1,
         "max_pow_iter": 100,
+        # measured-optimal on v5e (RESULTS.md): remat the HVP tangent
+        # pass — 30.6 TF/s peak on DenseNet121; numerically exact
+        "remat": True,
         "ignore_bad_vals": False,
         "lobpcg": lobpcg,
         "asymmetric_valley": asymmetric_valley,

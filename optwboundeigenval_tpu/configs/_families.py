@@ -142,6 +142,10 @@ def cifar10_config(
         "pow_iter": pow_iter,
         "pow_iter_eps": 0.05,
         "max_pow_iter": 100,
+        # measured-optimal on v5e: recomputing forward residuals in the
+        # HVP tangent pass beats the HBM round-trip by 1.30x at batch
+        # 128 (RESULTS.md MFU table); numerically exact
+        "remat": True,
     }
     (
         opt["train_loader"],
