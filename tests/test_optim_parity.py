@@ -291,3 +291,73 @@ def test_asymmetric_valley_epochs_parity(ref_env, tmp_path):
                 np.asarray(tr.swa_params[layer][leaf]), expect[layer][leaf],
                 rtol=5e-5, atol=1e-6, err_msg=f"swa {layer}/{leaf}",
             )
+
+
+def test_lobpcg_preconditioned_rho_parity(ref_env, tmp_path):
+    """K-FAC-preconditioned (inexact LOBPCG) power iteration h2h
+    (opt.py:348-416, 426-430, 491-493): identical weights/batch, true
+    targets (kfac_rand=False) — the preconditioned eigensolve must
+    produce the same rho, iteration count, and residual norm as the
+    reference's comp_rho with lobpcg=True."""
+    torch = ref_env
+    import torch.nn as nn
+
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.parity.jax_driver import convert_forest
+    from forest_data import Net
+    import opt as ref_opt
+
+    from optwboundeigenval_tpu.data.loaders import ArrayLoader
+    from optwboundeigenval_tpu.models import ForestNet
+    from optwboundeigenval_tpu.optim import sgd
+    from optwboundeigenval_tpu.train import SpectralTrainer, Task
+    from optwboundeigenval_tpu.train.task import cross_entropy_double_softmax
+
+    torch.manual_seed(14)
+    model = Net()
+    sd = {k: v.numpy().copy() for k, v in model.state_dict().items()}
+    rng = np.random.default_rng(14)
+    x = rng.normal(size=(64, 54)).astype(np.float32)
+    y = rng.integers(0, 7, size=64).astype(np.int64)
+
+    ref = ref_opt.OptWBoundEignVal(
+        model, nn.CrossEntropyLoss(),
+        torch.optim.SGD(model.parameters(), lr=0.1),
+        batch_size=64, max_iter=1, use_gpu=False,
+        pow_iter_eps=1e-3, max_pow_iter=50, ignore_bad_vals=False,
+        lobpcg=True, kfac_rand=False,
+    )
+    iters_ref, rn_ref, _ = ref.comp_rho(
+        [torch.from_numpy(x), torch.from_numpy(y)]
+    )
+    rho_ref, norm_ref = float(ref.rho), float(ref.norm)
+
+    task = Task(model=ForestNet(), loss=cross_entropy_double_softmax)
+    tr = SpectralTrainer(
+        task, sgd(0.1), batch_size=64, pow_iter_eps=1e-3,
+        max_pow_iter=50, ignore_bad_vals=False, lobpcg=True,
+        kfac_rand=False, header="LOBPAR",
+        log_dir=str(tmp_path / "logs"), model_dir=str(tmp_path / "models"),
+    )
+    loader = ArrayLoader(x, y.astype(np.int32), batch_size=64,
+                         shuffle=False)
+    batch0 = next(iter(loader))
+    tr.init_state(batch0)
+    tr.params = jax.tree.map(
+        lambda t, v: jnp.asarray(v, t.dtype), tr.params, convert_forest(sd)
+    )
+    self_rng, r = jax.random.split(tr.rng)
+    tr._refresh_precond(tr._put_batch(batch0), r)
+    tr.rho_test(loader=loader)
+    csv = np.loadtxt(
+        str(tmp_path / "logs" / f"{tr.header2}_rho_test.csv"),
+        delimiter=",",
+    ).reshape(-1, 6)
+
+    np.testing.assert_allclose(csv[0, 1], rho_ref, rtol=1e-4,
+                               err_msg="rho")
+    assert int(csv[0, 3]) == int(iters_ref) + 1, (csv[0, 3], iters_ref)
+    np.testing.assert_allclose(csv[0, 2], norm_ref, rtol=1e-2, atol=1e-6,
+                               err_msg="norm")
