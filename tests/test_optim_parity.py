@@ -361,3 +361,69 @@ def test_lobpcg_preconditioned_rho_parity(ref_env, tmp_path):
     assert int(csv[0, 3]) == int(iters_ref) + 1, (csv[0, 3], iters_ref)
     np.testing.assert_allclose(csv[0, 2], norm_ref, rtol=1e-2, atol=1e-6,
                                err_msg="norm")
+
+
+def test_damped_alpha_rho_parity(ref_env, tmp_path):
+    """Damped power-iteration update v <- v + alpha*(Hv - v)
+    (opt.py:489-495) with a scalar alpha AND a callable schedule:
+    rho/iters must match the reference comp_rho."""
+    torch = ref_env
+    import torch.nn as nn
+
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.parity.jax_driver import convert_forest
+    from forest_data import Net
+    import opt as ref_opt
+
+    from optwboundeigenval_tpu.models import ForestNet
+    from optwboundeigenval_tpu.ops import curvature, eigen
+    from optwboundeigenval_tpu.train import Task
+    from optwboundeigenval_tpu.train.task import cross_entropy_double_softmax
+    from optwboundeigenval_tpu.utils.tree import tree_uniform_like
+
+    rng = np.random.default_rng(15)
+    x = rng.normal(size=(64, 54)).astype(np.float32)
+    y = rng.integers(0, 7, size=64).astype(np.int64)
+
+    for alpha, jalpha in (
+        (0.5, 0.5),
+        (lambda i: 1.0 / (1.0 + 0.1 * i),
+         lambda i: 1.0 / (1.0 + 0.1 * i.astype(jnp.float32))),
+    ):
+        torch.manual_seed(15)
+        model = Net()
+        sd = {k: v.numpy().copy() for k, v in model.state_dict().items()}
+        ref = ref_opt.OptWBoundEignVal(
+            model, nn.CrossEntropyLoss(),
+            torch.optim.SGD(model.parameters(), lr=0.1),
+            batch_size=64, max_iter=1, use_gpu=False,
+            pow_iter_eps=1e-3, max_pow_iter=60, ignore_bad_vals=False,
+            pow_iter_alpha=alpha,
+        )
+        iters_ref, _, _ = ref.comp_rho(
+            [torch.from_numpy(x), torch.from_numpy(y)]
+        )
+
+        task = Task(model=ForestNet(), loss=cross_entropy_double_softmax)
+        p0, _ = task.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        params = jax.tree.map(
+            lambda t, v: jnp.asarray(v, t.dtype), p0, convert_forest(sd)
+        )
+        batch = {
+            "x": jnp.asarray(x),
+            "y": jnp.asarray(y.astype(np.int32)),
+            "w": jnp.ones(64, jnp.float32),
+        }
+        loss_fn = task.loss_fn({}, None)
+        _, hvp_fn = curvature.linearize_hvp(loss_fn, params, batch)
+        res = eigen.estimate_dominant_eig(
+            hvp_fn, tree_uniform_like(params), eps=1e-3, max_iter=60,
+            alpha=jalpha, ignore_bad_vals=False,
+        )
+        np.testing.assert_allclose(
+            float(res.rho), float(ref.rho), rtol=1e-4,
+            err_msg=f"alpha={alpha}",
+        )
+        assert int(res.iters) == int(iters_ref) + 1
