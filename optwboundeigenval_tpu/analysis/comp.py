@@ -15,12 +15,15 @@ def intersect_classes(
     class_dicts: Sequence[Dict[str, int]],
 ) -> List[Dict[str, int]]:
     """Given per-dataset {class_name: index} dicts, return per-dataset
-    remap dicts restricted to the common classes, ordered by the common
-    (sorted) class-name list (opt.py:1203-1224)."""
+    remap dicts restricted to the common classes, ordered by the FIRST
+    dataset's class order — the reference iterates classes[0] and keeps
+    those present everywhere (opt.py:1200-1204), so the overlap list
+    (and the printed log line) follow loader-0's ordering, not sorted
+    order."""
     common = set(class_dicts[0])
     for d in class_dicts[1:]:
         common &= set(d)
-    names = sorted(common)
+    names = [x for x in class_dicts[0] if x in common]
     return [{name: d[name] for name in names} for d in class_dicts]
 
 

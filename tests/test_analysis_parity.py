@@ -499,3 +499,32 @@ def test_rho_test_protocol_parity(ref_env, tmp_path):
                                err_msg="iters")
     np.testing.assert_allclose(our_csv[:, 2], ref_csv[:, 2], rtol=1e-2,
                                atol=1e-5, err_msg="norm")
+
+
+def test_comp_test_intersection_parity(ref_env):
+    """comp_test class intersection (opt.py:1200-1215): overlap ordered
+    by loader-0's class order, model_classes = positions in loader-0,
+    per-loader classes = positions in that loader."""
+    from optwboundeigenval_tpu.analysis.comp import intersect_classes
+
+    d0 = {"b": 0, "a": 1, "c": 2, "z": 3}
+    d1 = {"c": 0, "q": 1, "a": 2, "b": 3}
+    d2 = {"a": 0, "b": 1, "c": 2}
+    dicts = [d0, d1, d2]
+
+    # the reference's verbatim expressions (opt.py:1200-1215)
+    classes = [d.keys() for d in dicts]
+    overlap = list(classes[0])
+    for c in classes[1:]:
+        overlap = [x for x in overlap if x in c]
+    mc = [x for x in range(len(classes[0])) if list(classes[0])[x] in overlap]
+    per_loader = [
+        [list(classes[i]).index(x) for x in overlap]
+        for i in range(len(dicts))
+    ]
+
+    remaps = intersect_classes(dicts)
+    assert [list(r.keys()) for r in remaps] == [overlap] * 3
+    assert [list(r.values()) for r in remaps] == per_loader
+    # model_classes: positions of overlap in loader 0
+    assert list(remaps[0].values()) == mc
