@@ -42,6 +42,10 @@ def comp_test(trainer, test_loaders, options) -> None:
         remaps = intersect_classes([model_dict] + list(dicts))
         model_remap, data_remaps = remaps[0], remaps[1:]
         model_classes = list(model_remap.values())
+        # the reference appends the overlap list to the log
+        # (opt.py:1207-1212)
+        with open(trainer.log_file, "a") as fh:
+            fh.write(f"{list(model_remap.keys())}\n")
         for tl, remap in zip(test_loaders, data_remaps):
             trainer.test_set(
                 loader=tl,
