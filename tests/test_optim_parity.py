@@ -427,3 +427,62 @@ def test_damped_alpha_rho_parity(ref_env, tmp_path):
             err_msg=f"alpha={alpha}",
         )
         assert int(res.iters) == int(iters_ref) + 1
+
+
+def test_entropy_sgd_inloop_stale_closure_parity(ref_env):
+    """The reference's IN-LOOP EntropySGD protocol (opt.py:672-686,
+    pow_iter=False — its only shipped configuration): the closure
+    returns the cached loss and never recomputes gradients, so the
+    inner SGLD integrates the stale (in-place mutated) gradient field.
+    Our ``recompute_grads=False`` mode must reproduce the multi-step
+    trajectory exactly (eps=0)."""
+    torch = ref_env
+    import torch.nn as nn
+
+    import jax
+
+    from optim import EntropySGD as RefEntropySGD
+
+    from optwboundeigenval_tpu.optim.entropy_sgd import EntropySGD
+
+    model, (x, y), params, batch, loss_fn = _setup(torch, seed=16)
+    crit = nn.CrossEntropyLoss()
+
+    cfg = dict(lr=0.1, momentum=0.9, damp=0.0, weight_decay=0.0,
+               nesterov=True, L=3, eps=0.0, g0=1e-2, g1=1e-3)
+    ref_opt = RefEntropySGD(model.parameters(), dict(cfg))
+
+    rng = np.random.default_rng(16)
+    batches = []
+    for _ in range(3):
+        xb = rng.normal(size=(64, 54)).astype(np.float32)
+        yb = rng.integers(0, 7, size=64).astype(np.int64)
+        batches.append((xb, yb))
+
+    # reference in-loop protocol: fresh forward/backward, then step
+    # with the cached-value closure (opt.py:675-686)
+    for xb, yb in batches:
+        ref_opt.zero_grad()
+        out = model(torch.from_numpy(xb))
+        loss = crit(out, torch.from_numpy(yb))
+        loss.backward()
+        ref_opt.step(lambda: (loss.item(), 0.0), model, crit)
+
+    import jax.numpy as jnp
+
+    opt = EntropySGD(recompute_grads=False, **cfg)
+    state = opt.init(params)
+    for i, (xb, yb) in enumerate(batches):
+        b = {
+            "x": jnp.asarray(xb),
+            "y": jnp.asarray(yb.astype(np.int32)),
+            "w": jnp.ones(64, jnp.float32),
+        }
+        grad_fn = lambda p: jax.value_and_grad(loss_fn)(p, b)
+        _, g = grad_fn(params)
+        params, state = opt.step(
+            g, state, params, grad_fn=grad_fn,
+            rng=jax.random.PRNGKey(i),
+        )
+
+    _assert_trees_match(model, params, rtol=1e-4, atol=2e-6)
