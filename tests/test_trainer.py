@@ -97,17 +97,24 @@ def test_sam_optimizer(tmp_path, data):
 
 def test_entropy_sgd_optimizer(tmp_path, data):
     train_loader, _ = data
+    # K=0: the band BINDS, so the regularized direction feeds the
+    # inner SGLD — EntropySGD composed with the spectral penalty, a
+    # combination the reference advertises but crashes on (its closure
+    # references unbound output/loss in the pow_iter branch,
+    # opt.py:676-686; every shipped ESGD config sets pow_iter=False)
     tr = make_trainer(
         tmp_path,
         header="ESGD",
         optimizer=EntropySGD(lr=0.1, L=5, g0=1e-2),
         max_iter=2,
+        K=0.0,
     )
     # closure protocol (opt.py:673-687): step metrics surface the
     # closure loss mf and error % merr, recorded in the state too
     m = tr.train_step(next(iter(train_loader)))
     assert np.isfinite(float(m["opt_mf"]))
     assert 0.0 <= float(m["opt_merr"]) <= 100.0
+    assert float(m["g"]) > 0.0  # penalty active through EntropySGD
     tr.train(train_loader=train_loader)
     assert np.isfinite(tr.f)
     assert np.isfinite(float(tr.opt_state.merr))
