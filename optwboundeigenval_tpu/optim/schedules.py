@@ -59,10 +59,13 @@ class CosineAnnealingLR(Scheduler):
     def _compute(self, epoch, metric):
         import math
 
+        # no clamp at T_max: torch's CosineAnnealingLR continues the
+        # cosine wave past T_max (the lr rises again), and the parity
+        # test pins that behavior
         return (
             self.eta_min
             + (self.base_lr - self.eta_min)
-            * (1 + math.cos(math.pi * min(epoch, self.T_max) / self.T_max))
+            * (1 + math.cos(math.pi * epoch / self.T_max))
             / 2
         )
 

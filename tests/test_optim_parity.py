@@ -486,3 +486,63 @@ def test_entropy_sgd_inloop_stale_closure_parity(ref_env):
         )
 
     _assert_trees_match(model, params, rtol=1e-4, atol=2e-6)
+
+
+def test_scheduler_families_parity(ref_env):
+    """Per-epoch lr sequences vs the torch schedulers the reference
+    constructs (params/ files use LambdaLR/ExponentialLR/
+    CosineAnnealingLR/ReduceLROnPlateau on SGD)."""
+    torch = ref_env
+
+    from optwboundeigenval_tpu.optim import schedules
+
+    def torch_lrs(make_sched, metrics=None, n=12):
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=0.5)
+        sched = make_sched(opt)
+        out = []
+        for i in range(n):
+            if metrics is not None:
+                sched.step(metrics[i])
+            else:
+                sched.step()
+            out.append(opt.param_groups[0]["lr"])
+        return out
+
+    def our_lrs(sched, metrics=None, n=12):
+        return [
+            sched.step(metrics[i] if metrics is not None else None)
+            for i in range(n)
+        ]
+
+    # LambdaLR 1/(1+k) (params/forest_best.py)
+    np.testing.assert_allclose(
+        our_lrs(schedules.LambdaLR(0.5, lambda k: 1 / (1 + k))),
+        torch_lrs(lambda o: torch.optim.lr_scheduler.LambdaLR(
+            o, lr_lambda=lambda k: 1 / (1 + k))),
+        rtol=1e-12,
+    )
+    # ExponentialLR
+    np.testing.assert_allclose(
+        our_lrs(schedules.ExponentialLR(0.5, gamma=0.9)),
+        torch_lrs(lambda o: torch.optim.lr_scheduler.ExponentialLR(
+            o, gamma=0.9)),
+        rtol=1e-10,
+    )
+    # CosineAnnealingLR
+    np.testing.assert_allclose(
+        our_lrs(schedules.CosineAnnealingLR(0.5, T_max=10)),
+        torch_lrs(lambda o: torch.optim.lr_scheduler.CosineAnnealingLR(
+            o, T_max=10)),
+        rtol=1e-6, atol=1e-12,
+    )
+    # ReduceLROnPlateau on a plateauing loss sequence
+    metrics = [1.0, 0.8, 0.7, 0.7, 0.7, 0.7, 0.7, 0.7, 0.65, 0.65,
+               0.65, 0.65]
+    np.testing.assert_allclose(
+        our_lrs(schedules.ReduceLROnPlateau(0.5, factor=0.5, patience=3),
+                metrics=metrics),
+        torch_lrs(lambda o: torch.optim.lr_scheduler.ReduceLROnPlateau(
+            o, factor=0.5, patience=3), metrics=metrics),
+        rtol=1e-10,
+    )
