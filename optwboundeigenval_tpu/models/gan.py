@@ -38,9 +38,13 @@ class MLPGenerator(nn.Module):
         for i, w in enumerate(widths):
             x = nn.Dense(w, dtype=self.dtype)(x)
             if i > 0:  # first block unnormalized (gan.py:66)
+                # the reference's BatchNorm1d(out_feat, 0.8) sets
+                # EPS=0.8 (second positional arg), NOT momentum — the
+                # well-known PyTorch-GAN quirk; running-stat decay
+                # stays at torch's default 0.1 (flax momentum 0.9)
                 x = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.8,
-                    dtype=self.dtype,
+                    use_running_average=not train, momentum=0.9,
+                    epsilon=0.8, dtype=self.dtype,
                 )(x)
             x = nn.leaky_relu(x, 0.2)
         out_dim = self.img_shape[0] * self.img_shape[1] * self.img_shape[2]

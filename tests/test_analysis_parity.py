@@ -528,3 +528,143 @@ def test_comp_test_intersection_parity(ref_env):
     assert [list(r.values()) for r in remaps] == per_loader
     # model_classes: positions of overlap in loader 0
     assert list(remaps[0].values()) == mc
+
+
+def test_gan_mlp_forward_parity(ref_env):
+    """cGAN MLP forward h2h (gan.py:53-107; the script trains at import
+    so its classes are replicated verbatim here, including the
+    BatchNorm1d(n, 0.8) call whose second positional arg is EPS — the
+    PyTorch-GAN quirk): generator (train + eval modes) and
+    discriminator outputs must match at identical weights."""
+    torch = ref_env
+    import torch.nn as nn
+
+    import jax
+    import jax.numpy as jnp
+
+    from optwboundeigenval_tpu.models.gan import (
+        MLPDiscriminator,
+        MLPGenerator,
+    )
+
+    n, n_classes, latent_dim, img_shape = 32, 10, 100, (16, 16, 1)
+
+    class RefGenerator(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.label_emb = nn.Embedding(n_classes, n_classes)
+
+            def block(i, o, normalize=True):
+                layers = [nn.Linear(i, o)]
+                if normalize:
+                    layers.append(nn.BatchNorm1d(o, 0.8))  # eps=0.8!
+                layers.append(nn.LeakyReLU(0.2, inplace=True))
+                return layers
+
+            self.model = nn.Sequential(
+                *block(latent_dim + n_classes, n, normalize=False),
+                *block(n, n * 2), *block(n * 2, n * 4),
+                *block(n * 4, n * 8),
+                nn.Linear(n * 8, 256), nn.Tanh(),
+            )
+
+        def forward(self, z, labels):
+            x = torch.cat((self.label_emb(labels), z), -1)
+            return self.model(x).view(-1, 16, 16)
+
+    class RefDiscriminator(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.label_embedding = nn.Embedding(n_classes, n_classes)
+            self.model = nn.Sequential(
+                nn.Linear(n_classes + 256, n * 4), nn.LeakyReLU(0.2, True),
+                nn.Linear(n * 4, n * 4), nn.Dropout(0.4),
+                nn.LeakyReLU(0.2, True),
+                nn.Linear(n * 4, n * 4), nn.Dropout(0.4),
+                nn.LeakyReLU(0.2, True),
+                nn.Linear(n * 4, 1), nn.Sigmoid(),
+            )
+
+        def forward(self, img, labels):
+            d_in = torch.cat(
+                (img.view(img.size(0), -1),
+                 self.label_embedding(labels)), -1)
+            return self.model(d_in)
+
+    from optwboundeigenval_tpu.utils.torch_interop import dense_from_torch
+
+    torch.manual_seed(17)
+    g_t, d_t = RefGenerator(), RefDiscriminator()
+    gsd = {k: v.numpy().copy() for k, v in g_t.state_dict().items()}
+    dsd = {k: v.numpy().copy() for k, v in d_t.state_dict().items()}
+
+    rng = np.random.default_rng(17)
+    z = rng.normal(size=(8, latent_dim)).astype(np.float32)
+    labels = rng.integers(0, n_classes, size=8)
+    imgs = rng.normal(size=(8, 16, 16, 1)).astype(np.float32)
+
+    # --- generator ---
+    gen = MLPGenerator(n=n, img_shape=img_shape)
+    gv = dict(gen.init(jax.random.PRNGKey(0), jnp.asarray(z),
+                       jnp.asarray(labels.astype(np.int32)), train=False))
+    params = {"Embed_0": {"embedding": gsd["label_emb.weight"]}}
+    stats = {}
+    for j, lin in enumerate((0, 2, 5, 8, 11)):
+        params[f"Dense_{j}"] = dense_from_torch(
+            gsd[f"model.{lin}.weight"], gsd[f"model.{lin}.bias"])
+    for j, bn in enumerate((3, 6, 9)):
+        params[f"BatchNorm_{j}"] = {
+            "scale": gsd[f"model.{bn}.weight"],
+            "bias": gsd[f"model.{bn}.bias"],
+        }
+        stats[f"BatchNorm_{j}"] = {
+            "mean": gsd[f"model.{bn}.running_mean"],
+            "var": gsd[f"model.{bn}.running_var"],
+        }
+    gv = {
+        "params": jax.tree.map(
+            lambda t, v: jnp.asarray(v, t.dtype), gv["params"], params),
+        "batch_stats": jax.tree.map(
+            lambda t, v: jnp.asarray(v, t.dtype), gv["batch_stats"], stats),
+    }
+
+    # eval mode (running stats)
+    g_t.eval()
+    with torch.no_grad():
+        ref_imgs = g_t(torch.from_numpy(z),
+                       torch.from_numpy(labels)).numpy()
+    out = gen.apply(gv, jnp.asarray(z),
+                    jnp.asarray(labels.astype(np.int32)), train=False)
+    np.testing.assert_allclose(
+        np.asarray(out)[..., 0], ref_imgs, rtol=1e-4, atol=1e-5)
+
+    # train mode (batch statistics through eps=0.8)
+    g_t.train()
+    with torch.no_grad():
+        ref_imgs_tr = g_t(torch.from_numpy(z),
+                          torch.from_numpy(labels)).numpy()
+    out_tr, _ = gen.apply(
+        gv, jnp.asarray(z), jnp.asarray(labels.astype(np.int32)),
+        train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(out_tr)[..., 0], ref_imgs_tr, rtol=1e-4, atol=1e-5)
+
+    # --- discriminator (eval: dropout off, sigmoid vs logits) ---
+    disc = MLPDiscriminator(n=n)
+    dv = dict(disc.init(jax.random.PRNGKey(0), jnp.asarray(imgs),
+                        jnp.asarray(labels.astype(np.int32)), train=False))
+    dparams = {"Embed_0": {"embedding": dsd["label_embedding.weight"]}}
+    for j, lin in enumerate((0, 2, 5, 8)):
+        dparams[f"Dense_{j}"] = dense_from_torch(
+            dsd[f"model.{lin}.weight"], dsd[f"model.{lin}.bias"])
+    dv = {"params": jax.tree.map(
+        lambda t, v: jnp.asarray(v, t.dtype), dv["params"], dparams)}
+    d_t.eval()
+    with torch.no_grad():
+        ref_val = d_t(torch.from_numpy(imgs.reshape(8, -1)),
+                      torch.from_numpy(labels)).numpy()
+    logits = disc.apply(dv, jnp.asarray(imgs),
+                        jnp.asarray(labels.astype(np.int32)), train=False)
+    np.testing.assert_allclose(
+        1 / (1 + np.exp(-np.asarray(logits))), ref_val,
+        rtol=1e-4, atol=1e-6)
