@@ -668,3 +668,93 @@ def test_gan_mlp_forward_parity(ref_env):
     np.testing.assert_allclose(
         1 / (1 + np.exp(-np.asarray(logits))), ref_val,
         rtol=1e-4, atol=1e-6)
+
+
+def test_cov_shift_tester_sweep_parity(ref_env, tmp_path):
+    """Full cov_shift_tester sweep h2h (opt.py:1890-1936): both sides
+    run from the SAME indices CSV over two models (different weights),
+    loading their best checkpoints per draw — the acc and f1 CSVs must
+    match."""
+    torch = ref_env
+    import torch.nn as nn
+
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.parity.jax_driver import convert_forest
+    from forest_data import Net
+    import opt as ref_opt
+
+    from optwboundeigenval_tpu.analysis.cov_shift import cov_shift_tester
+    from optwboundeigenval_tpu.models import ForestNet
+    from optwboundeigenval_tpu.optim import sgd
+    from optwboundeigenval_tpu.train import SpectralTrainer, Task
+    from optwboundeigenval_tpu.train.task import cross_entropy_double_softmax
+
+    rng = np.random.default_rng(18)
+    x = rng.normal(size=(200, 54)).astype(np.float32)
+    y = rng.integers(0, 7, size=200).astype(np.int64)
+    iters = 3
+    idx = np.zeros((54, iters))
+    idx[:5, :] = 0.1 * rng.normal(size=(5, iters))
+    idx_csv = tmp_path / "indices.csv"
+    np.savetxt(idx_csv, idx, delimiter=",")
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    os.makedirs("models", exist_ok=True)
+    try:
+        ref_models, our_models = [], []
+        for seed in (20, 21):
+            torch.manual_seed(seed)
+            model = Net()
+            sd = {k: v.numpy().copy()
+                  for k, v in model.state_dict().items()}
+            ref = ref_opt.OptWBoundEignVal(
+                model, nn.CrossEntropyLoss(),
+                torch.optim.SGD(model.parameters(), lr=0.1),
+                batch_size=64, max_iter=1, use_gpu=False,
+                header=f"CSPAR{seed}",
+            )
+            torch.save(model.state_dict(),
+                       f"./models/{ref.header2}_trained_model_best.pt")
+            ref_models.append(ref)
+
+            task = Task(model=ForestNet(),
+                        loss=cross_entropy_double_softmax)
+            tr = SpectralTrainer(
+                task, sgd(0.1), batch_size=64, header=f"CSPAR{seed}",
+                log_dir=str(tmp_path / "jlogs"),
+                model_dir=str(tmp_path / "jmodels"),
+            )
+            tr.init_state({
+                "x": jnp.asarray(x[:64]),
+                "y": jnp.zeros(64, jnp.int32),
+                "w": jnp.ones(64, jnp.float32),
+            })
+            tr.params = jax.tree.map(
+                lambda t, v: jnp.asarray(v, t.dtype), tr.params,
+                convert_forest(sd),
+            )
+            tr.save("_trained_model_best.msgpack")
+            our_models.append(tr)
+
+        ref_opt.cov_shift_tester(
+            ref_models, torch.from_numpy(x), torch.from_numpy(y),
+            iters=iters, header="CSPAR", mean_diff=1.0, sd_diff=0.5,
+            indices=str(idx_csv),
+        )
+        ref_acc = np.loadtxt("./logs/CSPAR_cov_shift_acc.csv",
+                             delimiter=",")
+        ref_f1 = np.loadtxt("./logs/CSPAR_cov_shift_f1.csv",
+                            delimiter=",")
+    finally:
+        os.chdir(cwd)
+
+    acc, f1, _ = cov_shift_tester(
+        our_models, x, y.astype(np.int32), iters=iters, header="CSPAR",
+        mean_diff=1.0, sd_diff=0.5, indices=str(idx_csv),
+        log_dir=str(tmp_path / "jlogs"),
+    )
+    np.testing.assert_allclose(acc, ref_acc, rtol=2e-5, err_msg="acc")
+    np.testing.assert_allclose(f1, ref_f1, rtol=2e-5, err_msg="f1")
