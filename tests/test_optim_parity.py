@@ -546,3 +546,109 @@ def test_scheduler_families_parity(ref_env):
             o, factor=0.5, patience=3), metrics=metrics),
         rtol=1e-10,
     )
+
+
+def test_asymmetric_valley_iter2_interpolation_parity(ref_env, tmp_path):
+    """AsymmetricValley post-SWA phase h2h: iter2's SGD hunt (incl. the
+    reference's quirk of reloading the checkpoint's plain state_dict)
+    and the full SGD<->SWA linear interpolation sweep — the four
+    results arrays must match."""
+    torch = ref_env
+    import torch.nn as nn
+    import torch.utils.data as utils_data
+
+    from benchmarks.parity.jax_driver import convert_forest
+
+    model, _, params, _, _ = _setup(torch, seed=22)
+    rng = np.random.default_rng(23)
+    xb = rng.normal(size=(256, 54)).astype(np.float32)
+    yb = rng.integers(0, 7, size=256).astype(np.int64)
+    xv = rng.normal(size=(128, 54)).astype(np.float32)
+    yv = rng.integers(0, 7, size=128).astype(np.int64)
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    os.makedirs("models", exist_ok=True)
+    os.makedirs("logs", exist_ok=True)
+    os.makedirs("plots", exist_ok=True)
+    try:
+        from asymmetric_valley import AsymmetricValley, save_checkpoint
+
+        topt = torch.optim.SGD(model.parameters(), lr=0.1, momentum=0.9)
+        av = AsymmetricValley(
+            model, nn.CrossEntropyLoss(), topt, batch_size=64,
+            swa=True, swa_start=2, sgd_start=100, swa_c_epochs=1,
+            swa_lr=0.05, eval_freq=1, save_freq=2, max_iter=4,
+            division_part=4, distances=2,
+        )
+        ds = utils_data.TensorDataset(torch.from_numpy(xb),
+                                      torch.from_numpy(yb))
+        av.dataloader = utils_data.DataLoader(ds, batch_size=64,
+                                              shuffle=False)
+        vds = utils_data.TensorDataset(torch.from_numpy(xv),
+                                       torch.from_numpy(yv))
+        vloader = utils_data.DataLoader(vds, batch_size=64,
+                                        shuffle=False)
+        for i in range(4):
+            av.i = i
+            av.iter()
+        av.i = 4
+        av.iter2(vloader)
+        if av.sgd_path is None:
+            # force an SGD point so the interpolation runs
+            av.sgd_path = save_checkpoint(
+                av.dir, 99, state_dict=av.model.state_dict(),
+                optimizer=av.optimizer.state_dict(),
+            )
+        av.interpolation(vloader)
+        ref_results = {
+            k: np.loadtxt(f"logs/asymmetric_valley_{k}_results.txt")
+            for k in ("train_loss", "test_loss", "train_acc", "test_acc")
+        }
+        ref_sgd_saved = "checkpoint-99" not in (av.sgd_path or "")
+    finally:
+        os.chdir(cwd)
+
+    # ---- ours ----
+    import jax
+
+    from optwboundeigenval_tpu.data.loaders import ArrayLoader
+    from optwboundeigenval_tpu.models import ForestNet
+    from optwboundeigenval_tpu.optim import sgd
+    from optwboundeigenval_tpu.train import Task
+    from optwboundeigenval_tpu.train.asymmetric_valley import (
+        AsymmetricValleyTrainer,
+    )
+    from optwboundeigenval_tpu.train.task import cross_entropy_double_softmax
+
+    task = Task(model=ForestNet(), loss=cross_entropy_double_softmax)
+    tr = AsymmetricValleyTrainer(
+        task, sgd(0.1, momentum=0.9), swa=True, swa_start=2,
+        sgd_start=100, swa_c_epochs=1, swa_lr=0.05, eval_freq=1,
+        save_freq=2, max_iter=4, division_part=4, distances=2,
+        batch_size=64, header="AVI2",
+        log_dir=str(tmp_path / "jlogs"), model_dir=str(tmp_path / "jmodels"),
+    )
+    loader = ArrayLoader(xb, yb.astype(np.int32), batch_size=64,
+                         shuffle=False)
+    vloader_j = ArrayLoader(xv, yv.astype(np.int32), batch_size=64,
+                            shuffle=False)
+    tr.init_state(next(iter(loader)))
+    tr.params = params
+    for i in range(4):
+        tr.i = i
+        tr.iter_epoch(loader)
+    tr.i = 4
+    tr.iter2(loader, vloader_j)
+    our_sgd_saved = tr.sgd_path is not None
+    assert our_sgd_saved == ref_sgd_saved  # same hunt decision
+    if tr.sgd_path is None:
+        tr.sgd_path = tr._save_full("sgd_ep99")
+    tr.interpolation(loader, vloader_j)
+
+    for k in ("train_loss", "test_loss", "train_acc", "test_acc"):
+        ours = np.loadtxt(
+            str(tmp_path / "jlogs" / f"asymmetric_valley_{k}_results.txt")
+        )
+        np.testing.assert_allclose(ours, ref_results[k], rtol=5e-4,
+                                   atol=1e-5, err_msg=k)
