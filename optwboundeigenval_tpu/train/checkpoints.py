@@ -96,3 +96,27 @@ def load_torch_checkpoint(path: str, arch: str):
     if arch not in converters:
         raise ValueError(f"unknown arch {arch!r}; have {sorted(converters)}")
     return converters[arch](sd)
+
+
+def save_torch_checkpoint(params, path: str, arch: str) -> str:
+    """Reverse-interop: write a flax params tree as a torch ``.pt``
+    checkpoint the REFERENCE loads natively (its ``load_state``
+    tolerates plain state_dict files, opt.py:1041-1059) — so a user can
+    migrate a model trained here back to the reference implementation.
+
+    ``arch``: 'forest' | 'usps_cnn'."""
+    import torch
+
+    from optwboundeigenval_tpu.utils.torch_interop import (
+        cnnusps_to_state_dict,
+        forestnet_to_state_dict,
+    )
+
+    exporters = {"forest": forestnet_to_state_dict,
+                 "usps_cnn": cnnusps_to_state_dict}
+    if arch not in exporters:
+        raise ValueError(f"unknown arch {arch!r}; have {sorted(exporters)}")
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in exporters[arch](params).items()}
+    torch.save(sd, path)
+    return path

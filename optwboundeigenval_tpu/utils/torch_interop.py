@@ -188,3 +188,49 @@ def dense_to_torch(kernel: np.ndarray) -> np.ndarray:
 def conv_to_torch(kernel: np.ndarray) -> np.ndarray:
     """flax Conv kernel HWIO -> torch Conv2d weight OIHW."""
     return np.ascontiguousarray(kernel.transpose(3, 2, 0, 1))
+
+
+def dense_after_flatten_to_torch(
+    kernel: np.ndarray, chw: Tuple[int, int, int]
+) -> np.ndarray:
+    """Inverse of :func:`dense_after_flatten_from_torch`: flax Dense
+    kernel (H*W*C, out) consuming an HWC-flattened map -> torch Linear
+    weight (out, C*H*W) consuming the CHW flattening."""
+    c, h, w = chw
+    out_dim = kernel.shape[1]
+    assert kernel.shape[0] == c * h * w, (kernel.shape, chw)
+    w_chw = (
+        kernel.T.reshape(out_dim, h, w, c)
+        .transpose(0, 3, 1, 2)  # (out, C, H, W)
+        .reshape(out_dim, c * h * w)
+    )
+    return np.ascontiguousarray(w_chw)
+
+
+def forestnet_to_state_dict(params) -> Dict[str, np.ndarray]:
+    """models.ForestNet params tree -> reference Forest ``Net``
+    state_dict arrays (the inverse of convert_forestnet_state_dict, so
+    checkpoints migrate in BOTH directions)."""
+    sd = {}
+    for name in ("fc1", "fc2", "fc3"):
+        sd[f"{name}.weight"] = dense_to_torch(np.asarray(params[name]["kernel"]))
+        sd[f"{name}.bias"] = np.asarray(params[name]["bias"])
+    return sd
+
+
+def cnnusps_to_state_dict(params) -> Dict[str, np.ndarray]:
+    """models.CNNUSPS params tree -> reference USPS ``CNN`` state_dict
+    arrays (inverse of convert_cnnusps_state_dict)."""
+    sd = {}
+    for flax_name, torch_name in (
+        ("Conv_0", "conv1"), ("Conv_1", "conv2"), ("Conv_2", "conv3")
+    ):
+        sd[f"{torch_name}.weight"] = conv_to_torch(
+            np.asarray(params[flax_name]["kernel"]))
+        sd[f"{torch_name}.bias"] = np.asarray(params[flax_name]["bias"])
+    sd["fc1.weight"] = dense_after_flatten_to_torch(
+        np.asarray(params["Dense_0"]["kernel"]), chw=(32, 2, 2))
+    sd["fc1.bias"] = np.asarray(params["Dense_0"]["bias"])
+    sd["fc2.weight"] = dense_to_torch(np.asarray(params["Dense_1"]["kernel"]))
+    sd["fc2.bias"] = np.asarray(params["Dense_1"]["bias"])
+    return sd

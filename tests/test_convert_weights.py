@@ -264,3 +264,54 @@ def test_resnet50_feature_agreement(torch_densenet, tmp_path):
     np.testing.assert_allclose(
         np.asarray(y_flax), y_torch, rtol=1e-3, atol=1e-3
     )
+
+
+def test_save_torch_checkpoint_roundtrip(torch_densenet, tmp_path):
+    """Reverse interop: a flax-trained model exported via
+    save_torch_checkpoint loads into the REFERENCE model with forward
+    agreement (both directions of migration work)."""
+    torch, _ = torch_densenet
+    import jax
+    import jax.numpy as jnp
+
+    from forest_data import Net
+    from usps_data import CNN
+
+    from optwboundeigenval_tpu.models import CNNUSPS, ForestNet
+    from optwboundeigenval_tpu.train import checkpoints
+
+    # forest
+    model = ForestNet()
+    x = np.random.default_rng(0).normal(size=(4, 54)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(3), jnp.asarray(x))["params"]
+    pt = tmp_path / "forest.pt"
+    checkpoints.save_torch_checkpoint(params, str(pt), "forest")
+    tnet = Net()
+    tnet.load_state_dict(torch.load(pt, weights_only=True))
+    tnet.eval()
+    with torch.no_grad():
+        ref_out = tnet(torch.from_numpy(x)).numpy()
+    ours = jax.nn.softmax(
+        model.apply({"params": params}, jnp.asarray(x)), axis=-1)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-5,
+                               atol=1e-6)
+
+    # usps cnn (conv + flatten permutation path)
+    model = CNNUSPS()
+    x = np.random.default_rng(1).normal(size=(4, 256)).astype(np.float32)
+    params = model.init(
+        jax.random.PRNGKey(4), jnp.asarray(x.reshape(-1, 16, 16, 1))
+    )["params"]
+    pt = tmp_path / "usps.pt"
+    checkpoints.save_torch_checkpoint(params, str(pt), "usps_cnn")
+    tcnn = CNN()
+    tcnn.load_state_dict(torch.load(pt, weights_only=True))
+    tcnn.eval()
+    with torch.no_grad():
+        ref_out = tcnn(torch.from_numpy(x)).numpy()
+    logits = model.apply(
+        {"params": params}, jnp.asarray(x.reshape(-1, 16, 16, 1)),
+        train=False)
+    ours = jax.nn.softmax(logits, axis=-1)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-4,
+                               atol=1e-6)
