@@ -94,6 +94,7 @@ class SpectralTrainer:
         remat: bool = False,
         hvp_micro: int = 0,
         profile_dir: Optional[str] = None,
+        profile_epoch: int = 0,
         log_dir: str = "./logs",
         model_dir: str = "./models",
     ):
@@ -181,6 +182,9 @@ class SpectralTrainer:
         # timers (opt.py:70, 188-190); the stage-time table itself is in
         # the verbose log (timers.report)
         self.profile_dir = profile_dir
+        # epoch to trace: 0 captures compilation too; set 1+ for a
+        # steady-state trace (all programs already compiled)
+        self.profile_epoch = profile_epoch
 
     def mem_check(self):
         """Running max of device memory in use — the TPU equivalent of
@@ -533,7 +537,7 @@ class SpectralTrainer:
         import contextlib
 
         trace_ctx = contextlib.nullcontext()
-        if self.profile_dir and self.i == 0:
+        if self.profile_dir and self.i == self.profile_epoch:
             try:
                 trace_ctx = jax.profiler.trace(self.profile_dir)
             except Exception as e:  # pragma: no cover - platform-dependent
