@@ -93,6 +93,7 @@ class SpectralTrainer:
         mem_track: bool = False,
         remat: bool = False,
         hvp_micro: int = 0,
+        defer_metrics: bool = False,
         profile_dir: Optional[str] = None,
         profile_epoch: int = 0,
         log_dir: str = "./logs",
@@ -176,6 +177,12 @@ class SpectralTrainer:
         # HVPs/grads over micro-batches (ops/curvature.hvp_microbatched)
         self.remat = remat
         self.hvp_micro = int(hvp_micro)
+        # defer_metrics: skip the per-step metrics device_get (one
+        # tunnel RTT each on a remote TPU; measured ~40% of a
+        # small-model epoch); the NaN guard runs once per epoch with
+        # the reference's own recovery point.  Ignored when verbose
+        # (per-batch log lines need per-step values).
+        self.defer_metrics = defer_metrics
         # --profile: capture a jax.profiler trace of the FIRST epoch
         # into this directory (viewable in TensorBoard/XProf/Perfetto) —
         # the trace-level upgrade of the reference's aTime0/1/2 stage
@@ -475,7 +482,8 @@ class SpectralTrainer:
             self._kfac_iter += 1
 
     def train_step(
-        self, batch: Dict[str, Any], mu: Optional[float] = None
+        self, batch: Dict[str, Any], mu: Optional[float] = None,
+        fetch: bool = True,
     ) -> Dict[str, Any]:
         """Public single-step API: run ONE full spectral-regularized
         training step on ``batch`` — gradient linearization, power
@@ -491,6 +499,15 @@ class SpectralTrainer:
         ``step_ok`` bool.  On a non-finite gradient the step is NOT
         committed (the caller decides whether to reload a checkpoint —
         the reference's rollback, opt.py:696-708).
+
+        ``fetch=False`` (the ``defer_metrics`` fast path) returns the
+        metrics as DEVICE arrays without the blocking transfer — each
+        host sync costs one tunnel RTT on a remote TPU — and commits
+        the step unconditionally; the NaN guard then runs once per
+        epoch (``_iter_epoch_body``), whose recovery point (reload the
+        last epoch checkpoint) is the same one the reference's
+        per-batch rollback restores (opt.py:696-708 reloads
+        ``_trained_model.pt``, written at epoch end).
         """
         if self.params is None:
             self.init_state(batch)
@@ -510,6 +527,12 @@ class SpectralTrainer:
             step_rng,
             self._precond_state,
         )
+        if not fetch:
+            self.params = new_params
+            self.model_state = new_model_state
+            self.opt_state = new_opt_state
+            self.v = new_v
+            return metrics  # device arrays; caller syncs per epoch
         # ONE device->host transfer for all per-batch metrics
         # (scalar-by-scalar float() costs a tunnel round trip each on
         # the remote TPU)
@@ -557,12 +580,20 @@ class SpectralTrainer:
         import time as _time
 
         istart = _time.perf_counter()
+        defer = self.defer_metrics and not self.verbose
+        deferred: List[Dict[str, Any]] = []
         for j, data in enumerate(train_loader):
             if j == rbatch:
                 rdata = data
             with self.timers("G"):
-                metrics = self.train_step(data, mu=mu)
-                gradf_norm = float(metrics["gradf_norm"])
+                metrics = self.train_step(data, mu=mu, fetch=not defer)
+            if defer:
+                deferred.append(
+                    {"gradf_norm": metrics["gradf_norm"],
+                     "gradg_norm": metrics["gradg_norm"]}
+                )
+                continue
+            gradf_norm = float(metrics["gradf_norm"])
             # NaN rollback: the reference reloads the last epoch
             # checkpoint when the optimizer step blows up or KFAC emits
             # NaNs (opt.py:696-708).
@@ -580,6 +611,20 @@ class SpectralTrainer:
                     f"{gradf_norm:f}\t "
                     f"{float(metrics['gradg_norm']):f}"
                 )
+        if defer and deferred:
+            # ONE host sync per epoch; on any non-finite step restore
+            # the reference's recovery point (last epoch checkpoint)
+            norms = jax.device_get(deferred)
+            if not all(
+                np.isfinite(float(m["gradf_norm"]))
+                and np.isfinite(float(m["gradg_norm"]))
+                for m in norms
+            ):
+                ckpt = os.path.join(
+                    self.model_dir, self.header2 + "_trained_model.msgpack"
+                )
+                if os.path.exists(ckpt):
+                    self.model_load(ckpt)
 
         if self.verbose:
             os.makedirs(self.log_dir, exist_ok=True)

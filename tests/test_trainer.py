@@ -267,3 +267,33 @@ def test_rho_test_fused_matches_sequential(tmp_path):
         np.testing.assert_allclose(arr[j, 1], float(res.rho), rtol=1e-5)
         assert int(arr[j, 3]) == int(res.iters)
     assert means[0] > 0
+
+
+def test_defer_metrics_matches_default(tmp_path, data):
+    """defer_metrics=True (epoch-end metric sync, no per-step
+    device_get) must produce the identical training trajectory when no
+    step is NaN — same compiled step, same commits."""
+    x, y = make_classification(320, 10, 4, seed=0)
+    x_v, y_v = make_classification(64, 10, 4, seed=1)
+
+    def run(defer):
+        # fresh loaders per run: the shared fixture loader's shuffle rng
+        # is stateful across epochs/runs
+        train_loader = ArrayLoader(x, y, batch_size=32, shuffle=True,
+                                   seed=7)
+        valid_loader = ArrayLoader(x_v, y_v, batch_size=32)
+        tr = make_trainer(
+            tmp_path, header=f"DEFER{int(defer)}", max_iter=2,
+            defer_metrics=defer,
+        )
+        tr.train(train_loader=train_loader, valid_loader=valid_loader)
+        return tr
+
+    a, b = run(False), run(True)
+    np.testing.assert_allclose(a.f, b.f, rtol=1e-6)
+    np.testing.assert_allclose(a.rho, b.rho, rtol=1e-6)
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(a.params),
+        jax.tree_util.tree_leaves(b.params),
+    ):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb))
