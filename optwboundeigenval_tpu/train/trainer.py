@@ -504,10 +504,11 @@ class SpectralTrainer:
         metrics as DEVICE arrays without the blocking transfer — each
         host sync costs one tunnel RTT on a remote TPU — and commits
         the step unconditionally; the NaN guard then runs once per
-        epoch (``_iter_epoch_body``), whose recovery point (reload the
-        last epoch checkpoint) is the same one the reference's
-        per-batch rollback restores (opt.py:696-708 reloads
-        ``_trained_model.pt``, written at epoch end).
+        epoch (``_iter_epoch_body``), restoring the epoch-start
+        snapshot (params AND optimizer buffers) if any step was
+        non-finite.  That recovery is strictly stronger than the
+        reference's rollback, which reloads the model but leaves the
+        torch optimizer's poisoned momentum in place (opt.py:696-708).
         """
         if self.params is None:
             self.init_state(batch)
@@ -582,6 +583,15 @@ class SpectralTrainer:
         istart = _time.perf_counter()
         defer = self.defer_metrics and not self.verbose
         deferred: List[Dict[str, Any]] = []
+        if defer:
+            # free snapshot (immutable device arrays): the recovery
+            # point if any deferred step turns out non-finite.  This
+            # restores MORE than the reference's rollback (which
+            # reloads the model but leaves the torch optimizer's
+            # poisoned momentum in place, opt.py:696-708) — the full
+            # epoch-start state including optimizer buffers.
+            snapshot = (self.params, self.model_state, self.opt_state,
+                        self.v)
         for j, data in enumerate(train_loader):
             if j == rbatch:
                 rdata = data
@@ -592,6 +602,7 @@ class SpectralTrainer:
                     {"gradf_norm": metrics["gradf_norm"],
                      "gradg_norm": metrics["gradg_norm"]}
                 )
+                self.mem_check()
                 continue
             gradf_norm = float(metrics["gradf_norm"])
             # NaN rollback: the reference reloads the last epoch
@@ -613,18 +624,16 @@ class SpectralTrainer:
                 )
         if defer and deferred:
             # ONE host sync per epoch; on any non-finite step restore
-            # the reference's recovery point (last epoch checkpoint)
+            # the epoch-start snapshot (params AND optimizer buffers —
+            # the unconditional commits may have poisoned both)
             norms = jax.device_get(deferred)
             if not all(
                 np.isfinite(float(m["gradf_norm"]))
                 and np.isfinite(float(m["gradg_norm"]))
                 for m in norms
             ):
-                ckpt = os.path.join(
-                    self.model_dir, self.header2 + "_trained_model.msgpack"
-                )
-                if os.path.exists(ckpt):
-                    self.model_load(ckpt)
+                (self.params, self.model_state, self.opt_state,
+                 self.v) = snapshot
 
         if self.verbose:
             os.makedirs(self.log_dir, exist_ok=True)

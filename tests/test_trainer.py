@@ -297,3 +297,29 @@ def test_defer_metrics_matches_default(tmp_path, data):
         jax.tree_util.tree_leaves(b.params),
     ):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb))
+
+
+def test_defer_metrics_nan_recovery(tmp_path, data):
+    """A NaN step inside a defer_metrics epoch restores the FULL
+    epoch-start snapshot — params and optimizer buffers — even when no
+    checkpoint exists yet (review finding: the unconditional commits
+    would otherwise poison the momentum forever)."""
+    train_loader, _ = data
+    tr = make_trainer(tmp_path, header="DEFNAN", defer_metrics=True)
+    first = next(iter(train_loader))
+    tr.init_state(first)
+    p0 = jax.tree_util.tree_leaves(tr.params)[0].copy()
+
+    bad = dict(first)
+    bad["x"] = np.full_like(np.asarray(first["x"]), 1e38)
+    loader = [first, bad, first]
+    tr.iter_epoch(loader)
+
+    # all-finite state restored (snapshot), optimizer state included
+    for leaf in jax.tree_util.tree_leaves(tr.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    for leaf in jax.tree_util.tree_leaves(tr.opt_state):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(tr.params)[0]), np.asarray(p0)
+    )
