@@ -27,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_trainer(model_name, batch, remat, workdir="/tmp/bench_sstep"):
+def build_trainer(model_name, batch, remat, defer=False,
+                  workdir="/tmp/bench_sstep"):
     import jax.numpy as jnp
 
     from optwboundeigenval_tpu.data.loaders import ArrayLoader
@@ -67,7 +68,7 @@ def build_trainer(model_name, batch, remat, workdir="/tmp/bench_sstep"):
     tr = SpectralTrainer(
         task, sgd(0.1, momentum=0.9), mu=0.01, K=0.0, pow_iter_eps=0.05,
         batch_size=batch, max_pow_iter=100, ignore_bad_vals=False,
-        remat=remat, header="BENCH_SSTEP", seed=0,
+        remat=remat, defer_metrics=defer, header="BENCH_SSTEP", seed=0,
         log_dir=os.path.join(workdir, "logs"),
         model_dir=os.path.join(workdir, "models"),
     )
@@ -76,14 +77,20 @@ def build_trainer(model_name, batch, remat, workdir="/tmp/bench_sstep"):
     return tr, batches
 
 
-def measure(model_name="dn40", batch=128, remat=True, n_small=5, n_large=20):
-    tr, batches = build_trainer(model_name, batch, remat)
+def measure(model_name="dn40", batch=128, remat=True, defer=False,
+            n_small=5, n_large=20):
+    tr, batches = build_trainer(model_name, batch, remat, defer)
 
     def run(n):
         # train_step device_gets its metrics dict, so every step is
         # host-synchronized — the realistic cost of the public API.
+        # With --defer, steps are dispatched without the per-step sync
+        # (the defer_metrics epoch protocol) and materialized once.
+        m = None
         for i in range(n):
-            tr.train_step(batches[i % len(batches)])
+            m = tr.train_step(batches[i % len(batches)], fetch=not defer)
+        if defer:
+            np.asarray(m["rho"])
 
     run(3)  # warm/compile
     times = {}
@@ -96,7 +103,7 @@ def measure(model_name="dn40", batch=128, remat=True, n_small=5, n_large=20):
         times[n] = best
     steps = (n_large - n_small) / max(times[n_large] - times[n_small], 1e-9)
     return dict(
-        model=model_name, batch=batch, remat=remat,
+        model=model_name, batch=batch, remat=remat, defer=defer,
         steps_per_sec=round(steps, 2),
         examples_per_sec=round(steps * batch, 1),
     )
@@ -107,5 +114,7 @@ if __name__ == "__main__":
     ap.add_argument("--model", default="dn40", choices=["dn40", "dn121"])
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--defer", action="store_true")
     args = ap.parse_args()
-    print(json.dumps(measure(args.model, args.batch, args.remat)), flush=True)
+    print(json.dumps(measure(args.model, args.batch, args.remat,
+                             args.defer)), flush=True)
