@@ -64,6 +64,10 @@ def chestxray_config(
         # measured-optimal on v5e (RESULTS.md): remat the HVP tangent
         # pass — 30.6 TF/s peak on DenseNet121; numerically exact
         "remat": True,
+        # pipeline the epoch's dispatches (one metrics sync per epoch,
+        # identical trajectory, snapshot NaN recovery): 2.5-3.2x
+        # measured end-to-end (RESULTS.md spectral-step table)
+        "defer_metrics": True,
         "ignore_bad_vals": False,
         "lobpcg": lobpcg,
         "asymmetric_valley": asymmetric_valley,

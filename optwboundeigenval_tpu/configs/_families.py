@@ -146,6 +146,10 @@ def cifar10_config(
         # HVP tangent pass beats the HBM round-trip by 1.30x at batch
         # 128 (RESULTS.md MFU table); numerically exact
         "remat": True,
+        # pipeline the epoch's dispatches (one metrics sync per epoch,
+        # identical trajectory, snapshot NaN recovery): 2.5-3.2x
+        # measured end-to-end (RESULTS.md spectral-step table)
+        "defer_metrics": True,
     }
     (
         opt["train_loader"],
