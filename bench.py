@@ -96,8 +96,12 @@ def usps_hvps_per_sec() -> float:
 
 def main() -> None:
     from benchmarks.bench_densenet_hvp import measure
+    from benchmarks.bench_spectral_step import measure as measure_step
 
     dn = measure(batch=BATCH, dtype=jnp.bfloat16, remat=True)
+    # end-to-end regularized training: full train_step (power iter +
+    # vGHv + SGD) with the defer_metrics epoch protocol
+    sstep = measure_step("dn40", batch=BATCH, remat=True, defer=True)
     examples_per_sec = dn["hvps_per_sec"] * BATCH
     baseline_examples = (
         TORCH_CPU_DENSENET40_HVPS_PER_SEC * TORCH_CPU_DENSENET40_BATCH
@@ -114,6 +118,7 @@ def main() -> None:
                 "hvps_per_sec": dn["hvps_per_sec"],
                 "tflops_per_sec": dn["tflops_per_sec"],
                 "mfu_pct_bf16_peak": dn["mfu_pct_bf16_peak"],
+                "spectral_steps_per_sec_dn40_defer": sstep["steps_per_sec"],
                 "usps_hvps_per_sec": round(usps, 1),
                 "usps_vs_torch_cpu": round(
                     usps / TORCH_CPU_USPS_BASELINE_HVPS_PER_SEC, 1
