@@ -8,6 +8,7 @@ intersects their class dictionaries, derives index remaps, and runs
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence
 
 
@@ -43,7 +44,9 @@ def comp_test(trainer, test_loaders, options) -> None:
         model_remap, data_remaps = remaps[0], remaps[1:]
         model_classes = list(model_remap.values())
         # the reference appends the overlap list to the log
-        # (opt.py:1207-1212)
+        # (opt.py:1207-1212); standalone invocation may precede any
+        # train() that would have created the directory
+        os.makedirs(trainer.log_dir, exist_ok=True)
         with open(trainer.log_file, "a") as fh:
             fh.write(f"{list(model_remap.keys())}\n")
         for tl, remap in zip(test_loaders, data_remaps):

@@ -73,16 +73,17 @@ def shard_batch(batch, mesh: Mesh):
     its LOCAL shard of the global batch (the ``ArrayLoader`` with
     ``host_shard=(process_index, process_count)`` feeds per-host data,
     SURVEY §2.9), so the global array is assembled with
-    ``jax.make_array_from_process_local_data`` — the global leading dim
-    is ``local * process_count``.
+    ``jax.make_array_from_process_local_data``.  The global shape is
+    left to be inferred from the sharding itself (global_shape=None):
+    an explicit ``local * process_count`` would be wrong for meshes
+    whose non-``data`` axes span processes.
     """
     if jax.process_count() > 1:
 
         def put(x):
             x = np.asarray(x)
             sharding = batch_sharding(mesh, x.ndim)
-            gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
-            return jax.make_array_from_process_local_data(sharding, x, gshape)
+            return jax.make_array_from_process_local_data(sharding, x)
 
     else:
 

@@ -590,8 +590,12 @@ class SpectralTrainer:
             # reloads the model but leaves the torch optimizer's
             # poisoned momentum in place, opt.py:696-708) — the full
             # epoch-start state including optimizer buffers.
+            # Include the preconditioner state: in lobpcg mode
+            # _refresh_precond refits K-FAC factors mid-epoch from the
+            # (unconditionally committed) params, so NaN-poisoned params
+            # can poison the factors too — restore them together.
             snapshot = (self.params, self.model_state, self.opt_state,
-                        self.v)
+                        self.v, self._precond_state, self._kfac_iter)
         for j, data in enumerate(train_loader):
             if j == rbatch:
                 rdata = data
@@ -633,7 +637,7 @@ class SpectralTrainer:
                 for m in norms
             ):
                 (self.params, self.model_state, self.opt_state,
-                 self.v) = snapshot
+                 self.v, self._precond_state, self._kfac_iter) = snapshot
 
         if self.verbose:
             os.makedirs(self.log_dir, exist_ok=True)
