@@ -108,18 +108,71 @@ def main(workdir, platform="cpu"):
             lambda k: 0.1 ** ((k >= 0.5 * epochs) + (k >= 0.75 * epochs)),
         )
         x_model = x  # NHWC already
+    elif cfg["task"] == "cxr":
+        # chestxray_best_reg recipe at 64px: DenseNet121 + in-model
+        # Sigmoid, W-BCE-with-logits ON the sigmoid outputs (the
+        # reference's exact double-sigmoid composition,
+        # dcnn.py:255-265 + dcnn.py:375-400), Adam lr 1e-5 COUPLED
+        # wd 1e-5, ReduceLROnPlateau(patience=5), rand_init +
+        # gradg_clip=100
+        from optwboundeigenval_tpu.models.backbones import (
+            load_pretrained_npz,
+        )
+        from optwboundeigenval_tpu.models.cxr import DenseNet121Sigmoid
+        from optwboundeigenval_tpu.optim.schedules import ReduceLROnPlateau
+        from optwboundeigenval_tpu.train.task import (
+            weighted_bce_with_logits,
+        )
+        from scripts.convert_torch_weights import convert_dcnn_densenet121
+
+        task = Task(
+            model=DenseNet121Sigmoid(class_count=cfg.get("n_classes", 14)),
+            loss=weighted_bce_with_logits,
+            has_batch_stats=True,
+        )
+        converted = convert_dcnn_densenet121(sd)
+        npz = os.path.join(workdir, "converted_init.npz")
+        np.savez(npz, **converted)
+        params = None  # overlaid below via load_pretrained_npz
+        optimizer = adam(cfg["lr"], weight_decay=cfg["weight_decay"])
+        scheduler = ReduceLROnPlateau(cfg["lr"], patience=5)
+        x_model = x  # NHWC already
+        y = y.astype(np.float32)
     else:
         task = Task(model=CNNUSPS(), loss=cross_entropy_double_softmax)
         params = convert_usps(sd)
-        optimizer = adam(cfg["lr"])
+        if cfg.get("optimizer") == "kfac":
+            # usps_CNN_KFAC recipe: K-FAC as the TRAINING optimizer with
+            # the TCov/TInv refresh scheduling (kfac.py:175-191)
+            from optwboundeigenval_tpu.optim import KFAC
+
+            optimizer = KFAC(
+                lr=cfg["lr"], TCov=cfg["TCov"], TInv=cfg["TInv"],
+                kfac_rand=cfg.get("kfac_rand", True),
+            )
+        else:
+            optimizer = adam(cfg["lr"])
         scheduler = None
         x_model = x.reshape(-1, 16, 16, 1)
+
+    extra = {}
+    if cfg.get("lobpcg"):
+        extra.update(
+            lobpcg=True,
+            kfac_batch=cfg["kfac_batch"],
+            kfac_rand=cfg["kfac_rand"],
+        )
+    if cfg.get("alpha_exp"):
+        # alpha(k)=exp(-4k-2) (params/forest_lobpcg.py:33-34); k is a
+        # traced iteration index inside lax.while_loop, so jnp
+        extra["pow_iter_alpha"] = lambda k: jnp.exp(-4.0 * k - 2.0)
 
     log_dir = os.path.join(workdir, "jax_logs")
     tr = SpectralTrainer(
         task,
         optimizer,
         scheduler,
+        **extra,
         mu=cfg["mu"],
         K=cfg["K"],
         eps=-1.0,
@@ -129,21 +182,43 @@ def main(workdir, platform="cpu"):
         max_iter=cfg["epochs"],
         max_pow_iter=cfg["max_pow_iter"],
         ignore_bad_vals=cfg["ignore_bad_vals"],
+        rand_init=cfg.get("rand_init", False),
+        gradg_clip=cfg.get("gradg_clip"),
         verbose=True,
         header=cfg["header"],
         seed=cfg["seed"],
         log_dir=log_dir,
         model_dir=os.path.join(workdir, "jax_models"),
     )
-    loader = ArrayLoader(x_model, y.astype(np.int32), batch_size=cfg["batch_size"])
+    y_loader = y if cfg["task"] == "cxr" else y.astype(np.int32)
+    loader = ArrayLoader(x_model, y_loader, batch_size=cfg["batch_size"])
     first = next(iter(loader))
     tr.init_state(first)
     # overwrite the flax init with the torch init (identical start)
-    tr.params = jax.tree.map(
-        lambda ref, new: jnp.asarray(new, ref.dtype),
-        tr.params,
-        params,
-    )
+    if params is None:
+        # cxr: overlay the converted dcnn.DenseNet121 npz onto the full
+        # variables tree, asserting EXACT coverage both directions
+        from flax.traverse_util import flatten_dict, unflatten_dict
+
+        loaded = dict(np.load(os.path.join(workdir, "converted_init.npz")))
+        variables = {"params": tr.params, **tr.model_state}
+        flat = flatten_dict(variables, sep="/")
+        missing = [k for k in flat if k not in loaded]
+        extra = [k for k in loaded if k not in flat]
+        assert not missing and not extra, (missing[:5], extra[:5])
+        for k in flat:
+            assert loaded[k].shape == flat[k].shape, (k, loaded[k].shape,
+                                                      flat[k].shape)
+            flat[k] = jnp.asarray(loaded[k], flat[k].dtype)
+        variables = unflatten_dict(flat, sep="/")
+        tr.params = variables.pop("params")
+        tr.model_state = variables
+    else:
+        tr.params = jax.tree.map(
+            lambda ref, new: jnp.asarray(new, ref.dtype),
+            tr.params,
+            params,
+        )
     if batch_stats is not None:
         tr.model_state = jax.tree.map(
             lambda ref, new: jnp.asarray(new, ref.dtype),
@@ -151,6 +226,35 @@ def main(workdir, platform="cpu"):
             {"batch_stats": batch_stats},
         )
     tr._np_rng = _PinnedRng()
+
+    if cfg.get("v_noise"):
+        # control run: inject a relative perturbation into the warm-start
+        # eigenvector after every committed step.  Comparing this run
+        # against the clean jax run measures how much the truncated
+        # damped v-recursion amplifies per-step noise at the measured
+        # cross-framework kernel-difference level — the yardstick for
+        # judging rho drift that the params-perturbation chaos control
+        # cannot see (it perturbs params, not the solver state).
+        scale = float(cfg["v_noise"])
+        noise_rng = np.random.default_rng(20260817)
+        orig_step = tr.train_step
+
+        def noisy_step(batch, **kw):
+            out = orig_step(batch, **kw)
+            tr.v = jax.tree.map(
+                lambda a: a
+                * (
+                    1.0
+                    + scale
+                    * jnp.asarray(
+                        noise_rng.standard_normal(a.shape), a.dtype
+                    )
+                ),
+                tr.v,
+            )
+            return out
+
+        tr.train_step = noisy_step
 
     t0 = time.time()
     tr.train(train_loader=loader)
@@ -176,16 +280,32 @@ def main(workdir, platform="cpu"):
             if len(parts) == 5 and parts[0].isdigit():
                 batch_rows.append([float(p) for p in parts])
 
+    def _outputs(xa, chunk=512):
+        outs = []
+        for i in range(0, len(xa), chunk):
+            out = task.predict(
+                tr.params, tr.model_state, {"x": jnp.asarray(xa[i : i + chunk])}
+            )
+            outs.append(np.asarray(out))
+        return np.concatenate(outs)
+
     def accuracy(xa, ya):
         if cfg["task"] == "usps":
             xa = xa.reshape(-1, 16, 16, 1)
-        preds = []
-        for i in range(0, len(xa), 512):
-            out = task.predict(
-                tr.params, tr.model_state, {"x": jnp.asarray(xa[i : i + 512])}
-            )
-            preds.append(np.argmax(np.asarray(out), axis=1))
-        return float((np.concatenate(preds) == ya).mean())
+        if cfg["task"] == "cxr":
+            # per-class ROC-AUC with NaN masking, mean over computable
+            # classes — identical protocol to ref_driver.mean_auc
+            from sklearn.metrics import roc_auc_score
+
+            out = _outputs(xa, chunk=64)
+            aucs = []
+            for c in range(ya.shape[1]):
+                m = ~np.isnan(ya[:, c])
+                if len(np.unique(ya[m, c])) < 2:
+                    continue
+                aucs.append(roc_auc_score(ya[m, c], out[m, c]))
+            return float(np.mean(aucs))
+        return float((np.argmax(_outputs(xa), axis=1) == ya).mean())
 
     out = {
         "epochs": rows,

@@ -50,6 +50,64 @@ def pin_rbatch():
     ref_opt.random.randint = randint
 
 
+class ComposedBN2d(nn.Module):
+    """nn.BatchNorm2d's exact train/eval math composed from torch
+    primitives (mean/var/rsqrt) so autograd derives EVERY order of
+    derivative — unlike the native module, whose hand-written
+    double-backward is not third-order exact (the vGHv defect pinned by
+    tests/test_parity_reference.py::test_bn_triple_backward_exactness).
+    state_dict-compatible with nn.BatchNorm2d (same parameter/buffer
+    names, same running-stat update incl. the unbiased-variance
+    correction), so the torch→flax converter works unchanged."""
+
+    def __init__(self, c, eps=1e-5, momentum=0.1):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(c))
+        self.bias = nn.Parameter(torch.zeros(c))
+        self.register_buffer("running_mean", torch.zeros(c))
+        self.register_buffer("running_var", torch.ones(c))
+        self.register_buffer(
+            "num_batches_tracked", torch.tensor(0, dtype=torch.long)
+        )
+        self.eps = eps
+        self.momentum = momentum
+
+    def forward(self, z):
+        if self.training:
+            mu = z.mean(dim=(0, 2, 3))
+            var = ((z - mu.view(1, -1, 1, 1)) ** 2).mean(dim=(0, 2, 3))
+            with torch.no_grad():
+                n = z.numel() / z.shape[1]
+                self.running_mean.mul_(1 - self.momentum).add_(
+                    self.momentum * mu
+                )
+                self.running_var.mul_(1 - self.momentum).add_(
+                    self.momentum * var * n / (n - 1)
+                )
+                self.num_batches_tracked += 1
+            m, v = mu, var
+        else:
+            m, v = self.running_mean, self.running_var
+        zhat = (z - m.view(1, -1, 1, 1)) * torch.rsqrt(
+            v.view(1, -1, 1, 1) + self.eps
+        )
+        return zhat * self.weight.view(1, -1, 1, 1) + self.bias.view(
+            1, -1, 1, 1
+        )
+
+
+def _swap_bn(mod):
+    for name, child in mod.named_children():
+        if isinstance(child, nn.BatchNorm2d):
+            new = ComposedBN2d(
+                child.num_features, eps=child.eps, momentum=child.momentum
+            )
+            new.load_state_dict(child.state_dict())
+            setattr(mod, name, new)
+        else:
+            _swap_bn(child)
+
+
 def build(task_name, cfg):
     if task_name == "forest":
         from forest_data import Net
@@ -63,7 +121,17 @@ def build(task_name, cfg):
         from usps_data import CNN
 
         model = CNN()
-        opt_ = torch.optim.Adam(model.parameters(), lr=cfg["lr"])
+        if cfg.get("optimizer") == "kfac":
+            # usps_CNN_KFAC recipe: the reference's own KFACOptimizer as
+            # the TRAINING optimizer (kfac.py:12-23), with the in-loop
+            # comp_fisher refresh every TCov steps (opt.py:644-651)
+            from kfac import KFACOptimizer
+
+            opt_ = KFACOptimizer(
+                model, lr=cfg["lr"], TCov=cfg["TCov"], TInv=cfg["TInv"]
+            )
+        else:
+            opt_ = torch.optim.Adam(model.parameters(), lr=cfg["lr"])
         sched = None
     elif task_name == "cifar":
         # cifar10_DenseNet recipe (params/cifar10_DenseNet_mu0_01_K100.py):
@@ -71,6 +139,12 @@ def build(task_name, cfg):
         from densenet import DenseNet3
 
         model = DenseNet3(cfg.get("depth", 16), 10)
+        if cfg.get("composed_bn"):
+            # swap BEFORE the optimizer captures model.parameters()
+            _swap_bn(model)
+            assert not any(
+                isinstance(m, nn.BatchNorm2d) for m in model.modules()
+            )
         opt_ = torch.optim.SGD(
             model.parameters(), lr=cfg["lr"], momentum=0.9, weight_decay=1e-4
         )
@@ -80,6 +154,21 @@ def build(task_name, cfg):
             lr_lambda=lambda k: 0.1
             ** ((k >= 0.5 * epochs) + (k >= 0.75 * epochs)),
         )
+    elif task_name == "cxr":
+        # chestxray_best_reg recipe (params/chestxray_best_reg.py:
+        # 105-147): dens121 + Sigmoid head, W-BCE-with-logits on the
+        # sigmoid outputs (the reference's double-sigmoid composition),
+        # Adam lr 1e-5 wd 1e-5, ReduceLROnPlateau(patience=5),
+        # rand_init + gradg_clip — run here at 64px on the dnet fork
+        # (dcnn.DenseNet121 with isTrained=False: the pretrained
+        # download is environment-blocked, trains from scratch)
+        import dcnn
+
+        model = dcnn.DenseNet121(cfg.get("n_classes", 14), isTrained=False)
+        opt_ = torch.optim.Adam(
+            model.parameters(), lr=cfg["lr"], weight_decay=cfg["weight_decay"]
+        )
+        sched = torch.optim.lr_scheduler.ReduceLROnPlateau(opt_, patience=5)
     else:
         raise ValueError(task_name)
     return model, opt_, sched
@@ -96,12 +185,37 @@ def accuracy(model, x, y):
     return float((pred == y).mean())
 
 
+def mean_auc(model, x, y, batch=16):
+    """Per-class ROC-AUC with NaN-label masking, mean over computable
+    classes — the reference's 'auc' test protocol (opt.py:1001-1028),
+    computed identically in both drivers (monotone sigmoid dropped:
+    AUC-invariant)."""
+    from sklearn.metrics import roc_auc_score
+
+    was_training = model.training
+    model.eval()
+    outs = []
+    with torch.no_grad():
+        for i in range(0, len(x), batch):
+            outs.append(model(torch.from_numpy(x[i : i + batch])).numpy())
+    if was_training:
+        model.train()
+    out = np.concatenate(outs)
+    aucs = []
+    for c in range(y.shape[1]):
+        m = ~np.isnan(y[:, c])
+        if len(np.unique(y[m, c])) < 2:
+            continue
+        aucs.append(roc_auc_score(y[m, c], out[m, c]))
+    return float(np.mean(aucs))
+
+
 def main(workdir):
     cfg = json.load(open(os.path.join(workdir, "config.json")))
     data = np.load(os.path.join(workdir, "data.npz"))
     x, y = data["x_train"], data["y_train"]
     xt, yt = data["x_test"], data["y_test"]
-    if cfg["task"] == "cifar":
+    if cfg["task"] in ("cifar", "cxr"):
         # stored NHWC (the JAX-native layout); torch wants NCHW
         x = np.ascontiguousarray(x.transpose(0, 3, 1, 2))
         xt = np.ascontiguousarray(xt.transpose(0, 3, 1, 2))
@@ -129,12 +243,37 @@ def main(workdir):
     pin_rbatch()
     import opt as ref_opt
 
+    if cfg["task"] == "cxr":
+        import dcnn
+
+        criterion = dcnn.W_BCEWithLogitsLoss()
+        target = torch.from_numpy(y.astype(np.float32))
+    else:
+        criterion = nn.CrossEntropyLoss()
+        target = torch.from_numpy(y.astype(np.int64))
+
+    extra = {}
+    if cfg.get("lobpcg"):
+        # forest_lobpcg recipe: K-FAC-preconditioned eigensolve with the
+        # kfac_batch refresh cadence (opt.py:426-430); kfac_rand=False
+        # keeps the Fisher on true targets (deterministic)
+        extra.update(
+            lobpcg=True,
+            kfac_batch=cfg["kfac_batch"],
+            kfac_rand=cfg["kfac_rand"],
+        )
+    if cfg.get("alpha_exp"):
+        # damped power-iteration step size alpha(k)=exp(-4k-2)
+        # (params/forest_lobpcg.py:33-34)
+        extra["pow_iter_alpha"] = lambda k: np.exp(-4 * k - 2)
+
     os.chdir(workdir)  # reference writes ./logs and ./models in CWD
     o = ref_opt.OptWBoundEignVal(
         model,
-        nn.CrossEntropyLoss(),
+        criterion,
         opt_,
         scheduler=sched,
+        **extra,
         mu=cfg["mu"],
         K=cfg["K"],
         eps=-1,  # no CoV early stop: fixed-epoch comparison
@@ -144,6 +283,8 @@ def main(workdir):
         max_iter=cfg["epochs"],
         max_pow_iter=cfg["max_pow_iter"],
         ignore_bad_vals=cfg["ignore_bad_vals"],
+        rand_init=cfg.get("rand_init", False),
+        gradg_clip=cfg.get("gradg_clip"),
         verbose=True,
         header=cfg["header"],
     )
@@ -151,7 +292,7 @@ def main(workdir):
     try:
         o.train(
             inputs=torch.from_numpy(x),
-            target=torch.from_numpy(y.astype(np.int64)),
+            target=target,
         )
     except FileNotFoundError:
         # without a validation set the reference never writes
@@ -189,11 +330,12 @@ def main(workdir):
                 batch_rows.append([float(p) for p in parts])
             after_power_stamp = line.startswith("Power Iter Time elapsed")
 
+    metric = mean_auc if cfg["task"] == "cxr" else accuracy
     out = {
         "epochs": rows,
         "batch_rows": batch_rows,
-        "train_acc": accuracy(model, x, y),
-        "test_acc": accuracy(model, xt, yt),
+        "train_acc": metric(model, x, y),
+        "test_acc": metric(model, xt, yt),
         "wall_time_s": wall,
         "ndim": o.ndim,
     }

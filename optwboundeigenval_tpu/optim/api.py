@@ -102,14 +102,18 @@ def adam(
     eps: float = 1e-8,
     weight_decay: float = 0.0,
 ) -> Optimizer:
-    """torch.optim.Adam equivalent (params/usps_CNN_*.py)."""
+    """torch.optim.Adam equivalent (params/usps_CNN_*.py).
+
+    ``weight_decay`` follows torch.optim.Adam semantics — COUPLED decay
+    (wd*p added to the gradient BEFORE the Adam moments), not AdamW's
+    decoupled form; params/chestxray_best_reg.py:110 relies on this."""
 
     def make(learning_rate):
+        parts = []
         if weight_decay:
-            return optax.adamw(
-                learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay
-            )
-        return optax.adam(learning_rate, b1=b1, b2=b2, eps=eps)
+            parts.append(optax.add_decayed_weights(weight_decay))
+        parts.append(optax.adam(learning_rate, b1=b1, b2=b2, eps=eps))
+        return optax.chain(*parts)
 
     tx = optax.inject_hyperparams(make)(learning_rate=learning_rate)
     return from_optax(tx, name="Adam")

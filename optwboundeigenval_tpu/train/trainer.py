@@ -86,6 +86,7 @@ class SpectralTrainer:
         test_func: str = "maxacc",
         lobpcg: bool = False,
         kfac_rand: bool = True,
+        kfac_ema: bool = False,
         precond_builder: Optional[Callable] = None,
         kfac_batch: int = 1,
         mesh=None,
@@ -121,6 +122,14 @@ class SpectralTrainer:
         self.test_func = test_func
         self.lobpcg = lobpcg
         self.kfac_rand = kfac_rand
+        # In the reference's lobpcg mode the K-FAC ``steps`` counter
+        # never increments, so kfac.py:52-56/63-66 RE-INITIALIZE the
+        # factor buffers to identity on every hook call — its effective
+        # factors at any refresh are 0.95*I + 0.05*cov(refresh batch),
+        # never an EMA over history.  kfac_ema=False reproduces that
+        # (parity default); kfac_ema=True carries the running EMA across
+        # refreshes (the K-FAC paper's intended stat_decay semantics).
+        self.kfac_ema = kfac_ema
         # LOBPCG mode: precondition the eigensolver residual through the
         # K-FAC factored inverse (opt.py:426-430, 491-493)
         if lobpcg and precond_builder is None:
@@ -474,8 +483,9 @@ class SpectralTrainer:
                         sample_targets=self.kfac_rand,
                     )
                 )
+            prev = self._precond_state if self.kfac_ema else None
             self._precond_state = self._compiled["fit_factors"](
-                self.params, self.model_state, batch, rng, self._precond_state
+                self.params, self.model_state, batch, rng, prev
             )
             self._kfac_iter = 1
         else:
@@ -663,6 +673,13 @@ class SpectralTrainer:
         if self.pow_iter and rdata is not None:
             batch = self._put_batch(rdata)
             self.rng, r_rng = jax.random.split(self.rng)
+            # the reference's kfac_batch counter ticks on EVERY comp_rho
+            # call, including this epoch-end one (opt.py:426-430 sits at
+            # the top of comp_rho) — so the refresh cadence shifts by
+            # one slot per epoch; mirror that here
+            if self.precond_builder is not None:
+                self.rng, p_rng = jax.random.split(self.rng)
+                self._refresh_precond(batch, p_rng)
             eig, self.model_state = rho_step(
                 self.params, self.model_state, self.v, batch, r_rng,
                 self._precond_state,

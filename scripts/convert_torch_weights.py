@@ -108,6 +108,25 @@ def convert_densenet_features(sd, arch: str = "densenet121"):
     return e.out
 
 
+def convert_dcnn_densenet121(sd):
+    """Full dcnn.DenseNet121 (dcnn.py:255-265) state_dict →
+    models.cxr.DenseNet121Sigmoid npz mapping: the dnet densenet121
+    trunk under the flax auto-name ``DenseNetFeatures_0`` plus the
+    ``classifier`` Dense (torch ``densenet121.classifier.0`` — the
+    Sequential(Linear, Sigmoid) head; Sigmoid has no params)."""
+    sd = {k.removeprefix("densenet121."): np.asarray(v) for k, v in sd.items()}
+    feats = convert_densenet_features(sd, "densenet121")
+    out = {
+        k.replace("params/", "params/DenseNetFeatures_0/").replace(
+            "batch_stats/", "batch_stats/DenseNetFeatures_0/"
+        ): v
+        for k, v in feats.items()
+    }
+    out["params/classifier/kernel"] = sd["classifier.0.weight"].T
+    out["params/classifier/bias"] = sd["classifier.0.bias"]
+    return out
+
+
 def convert_vgg16_bn_features(sd):
     """torchvision vgg16_bn ``features.*`` (Sequential indices) →
     backbones.VGG16BNFeatures npz mapping.  The Sequential is
