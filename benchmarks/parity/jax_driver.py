@@ -307,6 +307,50 @@ def main(workdir, platform="cpu"):
             return float(np.mean(aucs))
         return float((np.argmax(_outputs(xa), axis=1) == ya).mean())
 
+    def param_drift():
+        """Relative L2 distance between our final params and the
+        reference's, through the same layout converter used for the
+        init — quantifies how far the two trajectories actually moved
+        apart in parameter space."""
+        fp = os.path.join(workdir, "final_params.npz")
+        if not os.path.exists(fp):
+            return None
+        sdf = dict(np.load(fp))
+        if cfg["task"] == "forest":
+            pf = convert_forest(sdf)
+        elif cfg["task"] == "usps":
+            pf = convert_usps(sdf)
+        elif cfg["task"] == "cifar":
+            from optwboundeigenval_tpu.utils.torch_interop import (
+                convert_densenet3_state_dict,
+            )
+
+            pf, _ = convert_densenet3_state_dict(sdf, depth=cfg["depth"])
+        else:  # cxr
+            from flax.traverse_util import flatten_dict
+
+            from scripts.convert_torch_weights import (
+                convert_dcnn_densenet121,
+            )
+
+            conv = convert_dcnn_densenet121(sdf)
+            flat = flatten_dict({"params": tr.params}, sep="/")
+            num = den = 0.0
+            for k, v in flat.items():
+                a = np.asarray(conv[k], np.float64)
+                b = np.asarray(v, np.float64)
+                num += float(((b - a) ** 2).sum())
+                den += float((a**2).sum())
+            return float(np.sqrt(num) / max(np.sqrt(den), 1e-30))
+        from jax.flatten_util import ravel_pytree
+
+        a, _ = ravel_pytree(jax.tree.map(jnp.asarray, pf))
+        b, _ = ravel_pytree(tr.params)
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return float(
+            np.linalg.norm(b - a) / max(np.linalg.norm(a), 1e-30)
+        )
+
     out = {
         "epochs": rows,
         "batch_rows": batch_rows,
@@ -315,6 +359,7 @@ def main(workdir, platform="cpu"):
         "wall_time_s": wall,
         "ndim": tr.ndim,
         "platform": platform or "default",
+        "param_drift_rel": param_drift(),
     }
     with open(os.path.join(workdir, "jax_metrics.json"), "w") as fh:
         json.dump(out, fh, indent=1)

@@ -302,6 +302,13 @@ def main(workdir):
         pass
     wall = time.time() - t0
 
+    # final weights, so the jax side can measure cross-framework
+    # parameter drift (CWD is workdir here)
+    np.savez(
+        "final_params.npz",
+        **{k: v.numpy() for k, v in model.state_dict().items()},
+    )
+
     # parse the reference's own logs for the trajectory
     rows = []
     with open(o.log_file) as fh:
