@@ -27,8 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_trainer(model_name, batch, remat, defer=False,
-                  workdir="/tmp/bench_sstep"):
+def build_trainer(model_name, batch, remat, defer=False, px=None,
+                  hvp_micro=0, workdir="/tmp/bench_sstep"):
     import jax.numpy as jnp
 
     from optwboundeigenval_tpu.data.loaders import ArrayLoader
@@ -51,7 +51,7 @@ def build_trainer(model_name, batch, remat, defer=False,
             loss=weighted_bce_with_logits,
             has_batch_stats=True,
         )
-        shape, n_classes = (64, 64, 3), 14
+        shape, n_classes = (px or 64, px or 64, 3), 14
 
     x, y = make_images(batch * 4, shape=shape, n_classes=n_classes, seed=0)
     if model_name == "dn121":
@@ -68,7 +68,8 @@ def build_trainer(model_name, batch, remat, defer=False,
     tr = SpectralTrainer(
         task, sgd(0.1, momentum=0.9), mu=0.01, K=0.0, pow_iter_eps=0.05,
         batch_size=batch, max_pow_iter=100, ignore_bad_vals=False,
-        remat=remat, defer_metrics=defer, header="BENCH_SSTEP", seed=0,
+        remat=remat, defer_metrics=defer, hvp_micro=hvp_micro,
+        header="BENCH_SSTEP", seed=0,
         log_dir=os.path.join(workdir, "logs"),
         model_dir=os.path.join(workdir, "models"),
     )
@@ -78,8 +79,9 @@ def build_trainer(model_name, batch, remat, defer=False,
 
 
 def measure(model_name="dn40", batch=128, remat=True, defer=False,
-            n_small=5, n_large=20):
-    tr, batches = build_trainer(model_name, batch, remat, defer)
+            px=None, hvp_micro=0, n_small=5, n_large=20):
+    tr, batches = build_trainer(model_name, batch, remat, defer, px=px,
+                                hvp_micro=hvp_micro)
 
     def run(n):
         # train_step device_gets its metrics dict, so every step is
@@ -104,7 +106,8 @@ def measure(model_name="dn40", batch=128, remat=True, defer=False,
     steps = (n_large - n_small) / max(times[n_large] - times[n_small], 1e-9)
     return dict(
         model=model_name, batch=batch, remat=remat, defer=defer,
-        steps_per_sec=round(steps, 2),
+        px=px, hvp_micro=hvp_micro,
+        steps_per_sec=round(steps, 4),
         examples_per_sec=round(steps * batch, 1),
     )
 
@@ -115,6 +118,15 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--defer", action="store_true")
+    ap.add_argument("--px", type=int, default=None,
+                    help="dn121 input resolution (default 64; the "
+                    "reference's CXR pipeline is 224, dcnn.py:86-89)")
+    ap.add_argument("--hvp_micro", type=int, default=0)
+    ap.add_argument("--n_small", type=int, default=5)
+    ap.add_argument("--n_large", type=int, default=20)
     args = ap.parse_args()
     print(json.dumps(measure(args.model, args.batch, args.remat,
-                             args.defer)), flush=True)
+                             args.defer, px=args.px,
+                             hvp_micro=args.hvp_micro,
+                             n_small=args.n_small,
+                             n_large=args.n_large)), flush=True)
