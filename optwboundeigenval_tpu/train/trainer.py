@@ -95,6 +95,7 @@ class SpectralTrainer:
         remat: bool = False,
         hvp_micro: int = 0,
         defer_metrics: bool = False,
+        full_ckpt: bool = False,
         profile_dir: Optional[str] = None,
         profile_epoch: int = 0,
         log_dir: str = "./logs",
@@ -192,6 +193,12 @@ class SpectralTrainer:
         # the reference's own recovery point.  Ignored when verbose
         # (per-batch log lines need per-step values).
         self.defer_metrics = defer_metrics
+        # write a save_full checkpoint at every epoch end, enabling
+        # exact mid-run resume (train() itself ends with the BEST model
+        # loaded — reference test_set semantics, opt.py:868-871 — so a
+        # save_full() after train() would checkpoint the best-epoch
+        # params, not the final ones)
+        self.full_ckpt = full_ckpt
         # --profile: capture a jax.profiler trace of the FIRST epoch
         # into this directory (viewable in TensorBoard/XProf/Perfetto) —
         # the trace-level upgrade of the reference's aTime0/1/2 stage
@@ -257,6 +264,23 @@ class SpectralTrainer:
         if self.mesh is not None:
             batch = meshlib.shard_batch(batch, self.mesh)
         return batch
+
+    def _put_eval_batch(self, batch):
+        """Batch placement for evaluation (test_model).
+
+        Single-process: identical to ``_put_batch`` (data-sharded over
+        the mesh).  Multi-process: evaluation fetches per-example
+        OUTPUTS to the host (AUC/F1/confusion need the full arrays,
+        opt.py:912-1039), and a data-sharded global array is not
+        host-addressable — so eval batches are fully REPLICATED instead
+        (each process passes the identical full validation batch, the
+        SPMD program runs the same eval everywhere, and the replicated
+        outputs fetch cleanly).  Eval is a tiny fraction of step time;
+        sharded multi-host eval is a future optimization."""
+        if self.mesh is not None and jax.process_count() > 1:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            return meshlib.replicate(batch, self.mesh)
+        return self._put_batch(batch)
 
     # ------------------------------------------------------------------
     # jitted step builders
@@ -735,14 +759,20 @@ class SpectralTrainer:
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.model_dir, exist_ok=True)
         has_valid = valid_loader is not None
-        with open(self.log_file, "w") as fh:
-            if has_valid:
-                fh.write("epoch\t f\t rho\t h\t norm\t val_acc\t val_f1\n")
-            else:
-                fh.write("epoch\t f\t rho\t h\t norm\n")
+        # resume(): continue the epoch loop (and append to the existing
+        # log) instead of restarting — the reference has no resume at
+        # all (SURVEY.md §5); this pairs with save_full/resume
+        start_epoch = getattr(self, "_resume_epoch", 0)
+        self._resume_epoch = 0
+        if start_epoch == 0 or not os.path.exists(self.log_file):
+            with open(self.log_file, "w") as fh:
+                if has_valid:
+                    fh.write("epoch\t f\t rho\t h\t norm\t val_acc\t val_f1\n")
+                else:
+                    fh.write("epoch\t f\t rho\t h\t norm\n")
 
         h_hist: List[float] = []
-        for self.i in range(self.max_iter):
+        for self.i in range(start_epoch, self.max_iter):
             self.iter_epoch(train_loader)
             self.save()
 
@@ -772,6 +802,11 @@ class SpectralTrainer:
                 row += f"\t {self.val_acc:f}\t {val_f1:f}"
             with open(self.log_file, "a") as fh:
                 fh.write(row + "\n")
+
+            if self.full_ckpt:
+                # after the valid eval so the checkpointed best-model
+                # tracking includes this epoch's update
+                self.save_full()
 
             h_hist.append(float(self.h))
             # CoV early stop (opt.py:841-845); eps defaults to -1 (inert)
@@ -829,7 +864,7 @@ class SpectralTrainer:
         f_list, acc_list, f1_list, sizes = [], [], [], []
         outputs_all, labels_all, oc = [], [], []
         for data in loader:
-            batch = self._put_batch(data)
+            batch = self._put_eval_batch(data)
             w = np.asarray(data["w"])
             nreal = int(np.sum(w > 0))
 
@@ -1149,6 +1184,12 @@ class SpectralTrainer:
             "v": self.v,
             "rng": self.rng,
             "epoch": np.asarray(self.i),
+            # best-model tracking survives resume (the reference's
+            # best_acc lives only in process memory, opt.py:821-825)
+            "best": np.asarray(
+                [self.best_val_acc, self.best_h, self.best_rho,
+                 float(self.best_iter)]
+            ),
         }
         checkpoints.save_checkpoint(
             os.path.join(self.model_dir, self.header2 + tail), payload
@@ -1170,6 +1211,13 @@ class SpectralTrainer:
         self.v = checkpoints.restore_like(self.v, payload["v"])
         self.rng = jnp.asarray(payload["rng"])
         self.i = int(payload["epoch"])
+        if "best" in payload:
+            b = np.asarray(payload["best"])
+            self.best_val_acc, self.best_h = float(b[0]), float(b[1])
+            self.best_rho, self.best_iter = float(b[2]), int(b[3])
+        # a subsequent train() continues from the epoch AFTER the
+        # checkpointed one instead of restarting at 0
+        self._resume_epoch = self.i + 1
         if self.mesh is not None:
             self.params = meshlib.replicate(self.params, self.mesh)
             self.model_state = meshlib.replicate(self.model_state, self.mesh)

@@ -245,3 +245,81 @@ def test_dc_cgan_shapes():
                  "dropout": jax.random.PRNGKey(2)}, img, labels, train=False)
     out = d.apply(dv, img, labels, train=False)
     assert out.shape == (2, 1)
+
+
+# ---------------------------------------------------------------------------
+# jaccard discrimination (behavioral guard, reference opt.py:1364-1855)
+# ---------------------------------------------------------------------------
+
+
+def _quadrant_trainer(tmp_path, quadrant, header, seed=0, n=256, epochs=4):
+    """Train a small CNN on 16x16 images whose class signal lives ONLY
+    in one 8x8 quadrant (the rest is N(0, .3) noise), so the trained
+    model's input-gradient saliency must concentrate there (the fc
+    layer after flatten is location-sensitive even though convs are
+    translation-equivariant)."""
+    rng = np.random.default_rng(seed)
+    n_classes = 4
+    x = rng.normal(0, 0.3, size=(n, 16, 16, 1)).astype(np.float32)
+    y = rng.integers(0, n_classes, size=n).astype(np.int64)
+    r0, c0 = quadrant
+    patterns = np.zeros((n_classes, 8, 8), np.float32)
+    patterns[0, ::2, :] = 2.0  # horizontal stripes
+    patterns[1, :, ::2] = 2.0  # vertical stripes
+    patterns[2, :4, :] = 2.0   # top band
+    patterns[3, :, :4] = 2.0   # left band
+    for i in range(n):
+        x[i, r0:r0 + 8, c0:c0 + 8, 0] += patterns[y[i]]
+
+    task = Task(model=CNNUSPS(num_classes=n_classes))
+    tr = SpectralTrainer(
+        task, sgd(0.1), mu=0.0, K=0.0, pow_iter=False, batch_size=32,
+        max_iter=epochs, min_iter=epochs, header=header,
+        log_dir=str(tmp_path / "logs"), model_dir=str(tmp_path / "models"),
+    )
+    tr.train(train_loader=ArrayLoader(x, y, 32, shuffle=True, seed=seed))
+    return tr, x, y
+
+
+def test_jaccard_discriminates_attention_location(tmp_path):
+    """Behavioral guard for the jaccard audit: two models trained to
+    attend the SAME quadrant must overlap far more than two models
+    trained on DIFFERENT quadrants, and a model's thresholded saliency
+    must actually sit on its signal quadrant.  A regression in the
+    mask/threshold/overlap logic (maps mixed up, thresholds applied to
+    the wrong axis, masks inverted) breaks these orderings even though
+    protocol-shape tests still pass."""
+    trA, xA, yA = _quadrant_trainer(tmp_path, (0, 0), "JQA", seed=0)
+    trA2, _, _ = _quadrant_trainer(tmp_path, (0, 0), "JQA2", seed=1)
+    trB, _, _ = _quadrant_trainer(tmp_path, (8, 8), "JQB", seed=2)
+
+    # all three models actually learned their task
+    _, accA, _ = trA.test_model(loader=ArrayLoader(xA, yA, 32))
+    assert accA > 60.0, accA
+
+    loader = ArrayLoader(xA[:64], yA[:64], 32)
+    resAA = jaccard.jaccard_audit(
+        trA, trA2, loader, quantile=0.9,
+        log_dir=str(tmp_path / "jlogs"), plot_dir=str(tmp_path / "jplots"),
+        tag="same",
+    )
+    resAB = jaccard.jaccard_audit(
+        trA, trB, loader, quantile=0.9,
+        log_dir=str(tmp_path / "jlogs"), plot_dir=str(tmp_path / "jplots"),
+        tag="diff",
+    )
+    jAA, jAB = float(np.mean(resAA["jaccard"])), float(np.mean(resAB["jaccard"]))
+    # same-quadrant models overlap decisively more than cross-quadrant
+    assert jAA > 1.5 * jAB, (jAA, jAB)
+
+    # localization: A's top-10% saliency mass sits in its 1/4 quadrant
+    sm = jaccard.saliency_map(trA.task, trA.params, trA.model_state, xA[:64])
+    mask = jaccard.threshold_mask(sm, None, 0.9)
+    frac_in_quadrant = float(mask[:, :8, :8].sum() / np.maximum(mask.sum(), 1))
+    assert frac_in_quadrant > 0.5, frac_in_quadrant  # chance = 0.25
+
+    # jaccard_comp pairwise matrix preserves the same ordering
+    mat = jaccard.jaccard_comp(
+        [trA, trA2, trB], loader, log_dir=str(tmp_path / "jlogs")
+    )
+    assert mat[0, 1] > mat[0, 2], mat

@@ -116,3 +116,112 @@ def test_two_process_distributed_train_step(tmp_path):
         np.testing.assert_allclose(r0["gradf_norm"], rr["gradf_norm"],
                                    rtol=2e-3)
         np.testing.assert_allclose(r0["g"], rr["g"], rtol=2e-3, atol=1e-7)
+
+
+_TRAIN_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "_multihost_train_worker.py")
+
+
+class _PinnedRng:
+    def __init__(self, start=0):
+        self.i = start
+
+    def integers(self, low, high):
+        v = low + self.i % max(high - low, 1)
+        self.i += 1
+        return v
+
+
+def _reference_train_rows(tmp_path):
+    """Single-process straight-through 3-epoch train() on the identical
+    global data (no mesh, no resume)."""
+    x, y = make_classification(128, 10, 4, seed=7)
+    xv, yv = make_classification(64, 10, 4, seed=8)
+    tr = SpectralTrainer(
+        Task(model=ForestNet(hidden=8, num_classes=4)),
+        sgd(0.1),
+        mu=0.05,
+        K=0.0,
+        batch_size=32,
+        max_pow_iter=50,
+        pow_iter_eps=1e-4,
+        min_iter=3,
+        max_iter=3,
+        seed=0,
+        header="MHT_REF",
+        log_dir=str(tmp_path / "logs_tref"),
+        model_dir=str(tmp_path / "models_tref"),
+    )
+    tr._np_rng = _PinnedRng()
+    tr.train(
+        train_loader=ArrayLoader(x, y, batch_size=32),
+        valid_loader=ArrayLoader(xv, yv, batch_size=32),
+    )
+    rows = []
+    with open(tr.log_file) as fh:
+        for line in fh:
+            parts = line.split()
+            if parts and parts[0].isdigit():
+                rows.append([float(p) for p in parts])
+    return rows, tr
+
+
+def test_two_process_full_train_loop(tmp_path):
+    """The COMPLETE train() loop — per-epoch eval, TSV logging,
+    checkpoint save, best tracking — runs under 2 jax.distributed
+    processes, survives a full-state checkpoint + resume into a fresh
+    trainer mid-run, and reproduces the single-process TSV."""
+    nproc = 2
+    port = _free_port()
+    outs = [str(tmp_path / f"tout{i}.json") for i in range(nproc)]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_DISABLE_COMPILATION_CACHE"] = "1"
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _TRAIN_WORKER, str(i), str(nproc),
+             f"127.0.0.1:{port}", outs[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(nproc)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"train worker failed:\n{log[-3000:]}"
+
+    results = []
+    for o in outs:
+        with open(o) as fh:
+            results.append(json.load(fh))
+
+    rows0, rows1 = results[0]["rows"], results[1]["rows"]
+    # 3 TSV epoch rows (0,1 pre-checkpoint; 2 after resume), 7 columns
+    assert len(rows0) == len(rows1) == 3
+    assert all(len(r) == 7 for r in rows0)
+    # (a) hosts observe the identical global computation, incl. eval
+    np.testing.assert_allclose(rows0, rows1, rtol=1e-6)
+    assert results[0]["best_iter"] == results[1]["best_iter"]
+
+    # (b) the interrupted-and-resumed 2-host TSV matches the
+    # single-process straight-through run
+    ref_rows, ref_tr = _reference_train_rows(tmp_path)
+    for rm, rr in zip(rows0, ref_rows):
+        assert rm[0] == rr[0]  # epoch index
+        np.testing.assert_allclose(rm[1], rr[1], rtol=2e-3)  # f
+        np.testing.assert_allclose(rm[2], rr[2], rtol=5e-3, atol=1e-5)  # rho
+        np.testing.assert_allclose(rm[5], rr[5], rtol=1e-6)  # val_acc
+    assert results[0]["best_iter"] == ref_tr.best_iter
+    np.testing.assert_allclose(
+        results[0]["best_val_acc"], ref_tr.best_val_acc, rtol=1e-6
+    )
