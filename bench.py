@@ -102,6 +102,11 @@ def main() -> None:
     # end-to-end regularized training: full train_step (power iter +
     # vGHv + SGD) with the defer_metrics epoch protocol
     sstep = measure_step("dn40", batch=BATCH, remat=True, defer=True)
+    # reference-scale heavy workload: DenseNet121 at the CXR pipeline's
+    # 224px (dcnn.py:86-89), end-to-end spectral step at the swept
+    # sweet spot (RESULTS.md round-3 224px table)
+    s224 = measure_step("dn121", batch=64, remat=True, defer=True,
+                        px=224)
     examples_per_sec = dn["hvps_per_sec"] * BATCH
     baseline_examples = (
         TORCH_CPU_DENSENET40_HVPS_PER_SEC * TORCH_CPU_DENSENET40_BATCH
@@ -119,6 +124,9 @@ def main() -> None:
                 "tflops_per_sec": dn["tflops_per_sec"],
                 "mfu_pct_bf16_peak": dn["mfu_pct_bf16_peak"],
                 "spectral_steps_per_sec_dn40_defer": sstep["steps_per_sec"],
+                "spectral_steps_per_sec_dn121_224": s224["steps_per_sec"],
+                "examples_per_sec_dn121_224": s224["examples_per_sec"],
+                "mfu_pct_dn121_224": s224["mfu_pct_bf16_peak"],
                 "usps_hvps_per_sec": round(usps, 1),
                 "usps_vs_torch_cpu": round(
                     usps / TORCH_CPU_USPS_BASELINE_HVPS_PER_SEC, 1

@@ -1,0 +1,101 @@
+"""Full-size CIFAR-10 epoch wallclock (BASELINE.json north-star metric).
+
+Runs ONE complete spectral-training epoch of the
+cifar10_DenseNet_mu0_01_K100 recipe shape — 50,048 synthetic 32x32
+images, 391 steps of batch 128, DenseNet-40-12, binding band (K=0) so
+the vGHv penalty gradient runs EVERY step — through the public
+``SpectralTrainer.iter_epoch`` protocol (per-batch spectral steps +
+epoch-end full-train-set eval + random-batch rho, exactly the
+reference's per-epoch work, opt.py:580-763), with the tuned knobs:
+bf16 compute, remat, defer_metrics.
+
+The projection for the torch-CPU reference comes from its measured
+curvature throughput (0.16 HVP/s at batch 32,
+benchmarks/measure_torch_densenet_baseline.py): one spectral step =
+(pow_iters + 3) HVP-equivalents (SURVEY.md §3.1), so a 391-step epoch
+at the SAME mean pow_iters is projected, per-example normalized.
+
+Usage: python benchmarks/bench_epoch_wallclock.py [--steps 391]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+TORCH_CPU_HVPS_PER_SEC = 0.16  # measured, batch 32
+TORCH_CPU_BATCH = 32
+
+
+def main(steps=391, batch=128, workdir="/tmp/bench_epoch"):
+    import jax.numpy as jnp
+
+    from optwboundeigenval_tpu.data.loaders import ArrayLoader
+    from optwboundeigenval_tpu.data.synthetic import make_images
+    from optwboundeigenval_tpu.models import DenseNet3
+    from optwboundeigenval_tpu.optim import sgd
+    from optwboundeigenval_tpu.train import SpectralTrainer, Task
+
+    n = steps * batch
+    # synthetic CIFAR-sized dataset, generated in shards to bound host
+    # memory churn
+    x, y = make_images(n, shape=(32, 32, 3), n_classes=10, seed=0)
+    loader = ArrayLoader(x.astype(np.float32), y.astype(np.int32),
+                         batch_size=batch)
+    task = Task(model=DenseNet3(dtype=jnp.bfloat16), has_batch_stats=True)
+    tr = SpectralTrainer(
+        task, sgd(0.1, momentum=0.9), mu=0.01, K=0.0, pow_iter_eps=0.05,
+        batch_size=batch, max_pow_iter=100, ignore_bad_vals=False,
+        remat=True, defer_metrics=True, header="BENCH_EPOCH", seed=0,
+        min_iter=1, max_iter=1,
+        log_dir=os.path.join(workdir, "logs"),
+        model_dir=os.path.join(workdir, "models"),
+    )
+    first = next(iter(loader))
+    tr.init_state(first)
+    # compile warmup outside the timed epoch (one step + one epoch-end
+    # program pass on a tiny 2-batch loader)
+    warm = ArrayLoader(x[: 2 * batch].astype(np.float32),
+                       y[: 2 * batch].astype(np.int32), batch_size=batch)
+    tr.iter_epoch(warm)
+
+    t0 = time.perf_counter()
+    tr.iter_epoch(loader)
+    wall = time.perf_counter() - t0
+
+    # mean power-iteration count for the torch projection: the deferred
+    # metrics don't retain pow_iters, so take it from one fetched step
+    m = tr.train_step(first, fetch=True)
+    pow_iters = float(m["pow_iters"])
+    hvp_equiv_per_step = pow_iters + 3.0
+    torch_examples_per_sec = TORCH_CPU_HVPS_PER_SEC * TORCH_CPU_BATCH
+    torch_epoch_s = steps * hvp_equiv_per_step * batch / torch_examples_per_sec
+
+    out = dict(
+        metric="cifar10_densenet40_epoch_wallclock",
+        steps=steps,
+        batch=batch,
+        images=n,
+        epoch_wallclock_s=round(wall, 2),
+        steps_per_sec=round(steps / wall, 2),
+        mean_pow_iters=pow_iters,
+        torch_cpu_projected_epoch_s=round(torch_epoch_s, 0),
+        speedup_vs_torch_cpu=round(torch_epoch_s / wall, 0),
+        final_f=float(tr.f),
+        final_rho=float(tr.rho),
+    )
+    print(json.dumps(out), flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=391)
+    ap.add_argument("--batch", type=int, default=128)
+    args = ap.parse_args()
+    main(args.steps, args.batch)

@@ -104,11 +104,44 @@ def measure(model_name="dn40", batch=128, remat=True, defer=False,
             best = min(best, time.perf_counter() - t0)
         times[n] = best
     steps = (n_large - n_small) / max(times[n_large] - times[n_small], 1e-9)
+
+    # end-to-end MFU via XLA's cost model: one spectral step =
+    # (pow_iters + 3) HVP-equivalents (SURVEY.md §3.1 — gradient, power
+    # iterations, gated vGHv ≈ 2 HVPs), with the per-HVP flop count
+    # from the compiled program's cost analysis
+    m = tr.train_step(batches[0], fetch=True)
+    pow_iters = float(np.asarray(m["pow_iters"]))
+    mfu = None
+    try:
+        import jax
+
+        from benchmarks.bench_densenet_hvp import (
+            V5E_BF16_PEAK,
+            hvp_flops,
+        )
+
+        loss_fn = tr.task.loss_fn(tr.model_state, None)
+        if remat:
+            loss_fn = jax.checkpoint(loss_fn)
+        from optwboundeigenval_tpu.utils.tree import tree_uniform_like
+
+        f_hvp = hvp_flops(
+            loss_fn, tr.params, tr._put_batch(batches[0]),
+            tree_uniform_like(tr.params),
+        )
+        mfu = (
+            100.0 * steps * (pow_iters + 3.0) * f_hvp / V5E_BF16_PEAK
+        )
+    except Exception as e:  # cost analysis platform-dependent
+        print(f"# mfu estimate unavailable: {e}", flush=True)
+
     return dict(
         model=model_name, batch=batch, remat=remat, defer=defer,
         px=px, hvp_micro=hvp_micro,
         steps_per_sec=round(steps, 4),
         examples_per_sec=round(steps * batch, 1),
+        mean_pow_iters=pow_iters,
+        mfu_pct_bf16_peak=round(mfu, 2) if mfu is not None else None,
     )
 
 
