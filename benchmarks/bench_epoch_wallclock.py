@@ -32,7 +32,7 @@ TORCH_CPU_HVPS_PER_SEC = 0.16  # measured, batch 32
 TORCH_CPU_BATCH = 32
 
 
-def main(steps=391, batch=128, workdir="/tmp/bench_epoch"):
+def main(steps=391, batch=128, scan_steps=1, workdir="/tmp/bench_epoch"):
     import jax.numpy as jnp
 
     from optwboundeigenval_tpu.data.loaders import ArrayLoader
@@ -51,18 +51,32 @@ def main(steps=391, batch=128, workdir="/tmp/bench_epoch"):
     tr = SpectralTrainer(
         task, sgd(0.1, momentum=0.9), mu=0.01, K=0.0, pow_iter_eps=0.05,
         batch_size=batch, max_pow_iter=100, ignore_bad_vals=False,
-        remat=True, defer_metrics=True, header="BENCH_EPOCH", seed=0,
+        remat=True, defer_metrics=True, scan_steps=scan_steps,
+        header="BENCH_EPOCH", seed=0,
         min_iter=1, max_iter=1,
         log_dir=os.path.join(workdir, "logs"),
         model_dir=os.path.join(workdir, "models"),
     )
     first = next(iter(loader))
     tr.init_state(first)
-    # compile warmup outside the timed epoch (one step + one epoch-end
-    # program pass on a tiny 2-batch loader)
-    warm = ArrayLoader(x[: 2 * batch].astype(np.float32),
-                       y[: 2 * batch].astype(np.int32), batch_size=batch)
-    tr.iter_epoch(warm)
+
+    # compile warmup outside the timed epoch: the per-step (or
+    # chunk-of-k scan) program plus the epoch-end pass; with scan, the
+    # remainder chunk (steps % k) is a second trace — warm both lengths
+    def warm_epoch(n_batches):
+        m = n_batches * batch
+        tr.iter_epoch(
+            ArrayLoader(x[:m].astype(np.float32), y[:m].astype(np.int32),
+                        batch_size=batch)
+        )
+
+    if scan_steps > 1:
+        warm_epoch(scan_steps)
+        rem = steps % scan_steps
+        if rem:
+            warm_epoch(rem)
+    else:
+        warm_epoch(2)
 
     t0 = time.perf_counter()
     tr.iter_epoch(loader)
@@ -80,6 +94,7 @@ def main(steps=391, batch=128, workdir="/tmp/bench_epoch"):
         metric="cifar10_densenet40_epoch_wallclock",
         steps=steps,
         batch=batch,
+        scan_steps=scan_steps,
         images=n,
         epoch_wallclock_s=round(wall, 2),
         steps_per_sec=round(steps / wall, 2),
@@ -97,5 +112,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=391)
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--scan_steps", type=int, default=1,
+                    help="fuse chunks of k train steps into one lax.scan "
+                         "program (chunked-dispatch fast path)")
     args = ap.parse_args()
-    main(args.steps, args.batch)
+    main(args.steps, args.batch, args.scan_steps)

@@ -28,7 +28,7 @@ import numpy as np
 
 
 def build_trainer(model_name, batch, remat, defer=False, px=None,
-                  hvp_micro=0, workdir="/tmp/bench_sstep"):
+                  hvp_micro=0, scan_steps=1, workdir="/tmp/bench_sstep"):
     import jax.numpy as jnp
 
     from optwboundeigenval_tpu.data.loaders import ArrayLoader
@@ -69,6 +69,7 @@ def build_trainer(model_name, batch, remat, defer=False, px=None,
         task, sgd(0.1, momentum=0.9), mu=0.01, K=0.0, pow_iter_eps=0.05,
         batch_size=batch, max_pow_iter=100, ignore_bad_vals=False,
         remat=remat, defer_metrics=defer, hvp_micro=hvp_micro,
+        scan_steps=scan_steps,
         header="BENCH_SSTEP", seed=0,
         log_dir=os.path.join(workdir, "logs"),
         model_dir=os.path.join(workdir, "models"),
@@ -79,22 +80,47 @@ def build_trainer(model_name, batch, remat, defer=False, px=None,
 
 
 def measure(model_name="dn40", batch=128, remat=True, defer=False,
-            px=None, hvp_micro=0, n_small=5, n_large=20):
+            px=None, hvp_micro=0, scan_steps=1, n_small=5, n_large=20):
     tr, batches = build_trainer(model_name, batch, remat, defer, px=px,
-                                hvp_micro=hvp_micro)
+                                hvp_micro=hvp_micro, scan_steps=scan_steps)
 
-    def run(n):
-        # train_step device_gets its metrics dict, so every step is
-        # host-synchronized — the realistic cost of the public API.
-        # With --defer, steps are dispatched without the per-step sync
-        # (the defer_metrics epoch protocol) and materialized once.
-        m = None
-        for i in range(n):
-            m = tr.train_step(batches[i % len(batches)], fetch=not defer)
-        if defer:
-            np.asarray(m["rho"])
+    if scan_steps > 1:
+        import jax.numpy as jnp
 
-    run(3)  # warm/compile
+        mu_arr = jnp.asarray(0.01, jnp.float32)
+
+        def run(n):
+            # chunked-dispatch path: chunks of k steps fused into one
+            # lax.scan program (incl. the realistic host-side batch
+            # stacking + single stacked transfer per chunk)
+            deferred = []
+            data = [batches[i % len(batches)] for i in range(n)]
+            for s in range(0, n, scan_steps):
+                tr._run_scan_chunk(data[s : s + scan_steps], mu_arr,
+                                   deferred)
+            np.asarray(deferred[-1]["gradf_norm"])
+
+    else:
+
+        def run(n):
+            # train_step device_gets its metrics dict, so every step is
+            # host-synchronized — the realistic cost of the public API.
+            # With --defer, steps are dispatched without the per-step
+            # sync (the defer_metrics epoch protocol) and materialized
+            # once.
+            m = None
+            for i in range(n):
+                m = tr.train_step(batches[i % len(batches)], fetch=not defer)
+            if defer:
+                np.asarray(m["rho"])
+
+    if scan_steps > 1:
+        # time whole chunks only (no remainder re-traces mid-timing)
+        n_small = max(scan_steps, (n_small // scan_steps) * scan_steps)
+        n_large = max(2 * n_small, (n_large // scan_steps) * scan_steps)
+        run(scan_steps)  # warm/compile the chunk-length program
+    else:
+        run(3)  # warm/compile
     times = {}
     for n in (n_small, n_large):
         best = float("inf")
@@ -137,7 +163,7 @@ def measure(model_name="dn40", batch=128, remat=True, defer=False,
 
     return dict(
         model=model_name, batch=batch, remat=remat, defer=defer,
-        px=px, hvp_micro=hvp_micro,
+        px=px, hvp_micro=hvp_micro, scan_steps=scan_steps,
         steps_per_sec=round(steps, 4),
         examples_per_sec=round(steps * batch, 1),
         mean_pow_iters=pow_iters,
@@ -155,11 +181,15 @@ if __name__ == "__main__":
                     help="dn121 input resolution (default 64; the "
                     "reference's CXR pipeline is 224, dcnn.py:86-89)")
     ap.add_argument("--hvp_micro", type=int, default=0)
+    ap.add_argument("--scan_steps", type=int, default=1,
+                    help="fuse chunks of k steps into one lax.scan "
+                         "program (implies the defer protocol)")
     ap.add_argument("--n_small", type=int, default=5)
     ap.add_argument("--n_large", type=int, default=20)
     args = ap.parse_args()
     print(json.dumps(measure(args.model, args.batch, args.remat,
                              args.defer, px=args.px,
                              hvp_micro=args.hvp_micro,
+                             scan_steps=args.scan_steps,
                              n_small=args.n_small,
                              n_large=args.n_large)), flush=True)

@@ -93,6 +93,32 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(put, batch)
 
 
+def stacked_batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Sharding for a STACK of batches (scan path): axis 0 is the scan
+    (step) axis, axis 1 the batch dimension split over ``data``."""
+    spec = P(None, "data", *([None] * (ndim - 2)))
+    return NamedSharding(mesh, spec)
+
+
+def shard_stacked_batch(batch, mesh: Mesh):
+    """Place a stacked batch dict (leading axes ``(steps, batch)``) on
+    the mesh — the chunked-dispatch twin of :func:`shard_batch`."""
+    if jax.process_count() > 1:
+
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(
+                stacked_batch_sharding(mesh, x.ndim), x
+            )
+
+    else:
+
+        def put(x):
+            return jax.device_put(x, stacked_batch_sharding(mesh, np.ndim(x)))
+
+    return jax.tree.map(put, batch)
+
+
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree (params, eigenvector, optimizer state).
 

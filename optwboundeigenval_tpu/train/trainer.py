@@ -95,6 +95,7 @@ class SpectralTrainer:
         remat: bool = False,
         hvp_micro: int = 0,
         defer_metrics: bool = False,
+        scan_steps: int = 1,
         full_ckpt: bool = False,
         profile_dir: Optional[str] = None,
         profile_epoch: int = 0,
@@ -193,6 +194,14 @@ class SpectralTrainer:
         # the reference's own recovery point.  Ignored when verbose
         # (per-batch log lines need per-step values).
         self.defer_metrics = defer_metrics
+        # scan_steps > 1: run chunks of k train steps as ONE compiled
+        # lax.scan program (stacked batches, pre-split rng stream) — no
+        # per-step XLA launch, no per-step host work at all.  Requires
+        # defer_metrics (per-step host metrics would defeat it) and a
+        # non-lobpcg recipe (the K-FAC refresh cadence is host-driven);
+        # falls back to the per-step path otherwise.  Trajectory is
+        # identical either way (test_trainer::test_scan_steps_*).
+        self.scan_steps = int(scan_steps)
         # write a save_full checkpoint at every epoch end, enabling
         # exact mid-run resume (train() itself ends with the BEST model
         # loaded — reference test_set semantics, opt.py:868-871 — so a
@@ -265,6 +274,19 @@ class SpectralTrainer:
             batch = meshlib.shard_batch(batch, self.mesh)
         return batch
 
+    def _put_stacked(self, batches):
+        """Stack a list of same-shape batch dicts along a new leading
+        axis and place the stack on device in ONE transfer (scan path).
+        Under a mesh the BATCH axis (axis 1) is the data-sharded one;
+        the scan axis is unsharded."""
+        stacked = {
+            k: np.stack([np.asarray(b[k]) for b in batches])
+            for k in batches[0]
+        }
+        if self.mesh is not None:
+            return meshlib.shard_stacked_batch(stacked, self.mesh)
+        return {k: jnp.asarray(v) for k, v in stacked.items()}
+
     def _put_eval_batch(self, batch):
         """Batch placement for evaluation (test_model).
 
@@ -291,9 +313,12 @@ class SpectralTrainer:
             loss_fn = jax.checkpoint(loss_fn)
         return loss_fn
 
-    def _build_train_step(self):
-        """The single compiled program per batch: linearize -> power
-        iteration -> gated grad-rho -> optimizer update."""
+    def _step_body(self):
+        """Build the pure per-batch step function: linearize -> power
+        iteration -> gated grad-rho -> optimizer update.  Jitted
+        standalone by ``_build_train_step`` and scanned over stacked
+        batches by ``_build_scan_steps`` (the chunked-dispatch fast
+        path)."""
         pow_iter = self.pow_iter
 
         def step(params, model_state, opt_state, v, batch, mu, rng, precond_state):
@@ -439,7 +464,41 @@ class SpectralTrainer:
 
             return new_params, new_model_state, new_opt_state, new_v, metrics
 
-        return jax.jit(step)
+        return step
+
+    def _build_train_step(self):
+        """The single compiled program per batch."""
+        return jax.jit(self._step_body())
+
+    def _build_scan_steps(self):
+        """Chunked-dispatch fast path: ``lax.scan`` the per-batch step
+        over a stack of ``k`` batches inside ONE compiled program.
+
+        The per-step XLA launch (one tunnel RTT each on a remote TPU)
+        and the host-side rng split disappear from the epoch's critical
+        path; with ``defer_metrics`` the whole chunk runs with zero
+        host round-trips.  Trajectory-identical to ``k`` sequential
+        ``train_step`` calls (same step body, same rng stream — keys
+        are pre-split outside and fed as a scanned input).
+
+        Only built for ``precond_builder is None``: the LOBPCG K-FAC
+        refresh cadence is host-driven (``_refresh_precond``), so
+        lobpcg recipes keep the per-step path."""
+        body = self._step_body()
+
+        def scan_steps(params, model_state, opt_state, v, batches, mu, rngs):
+            def f(carry, xs):
+                p, ms, os_, vv = carry
+                b, r = xs
+                np_, nms, nos, nv, m = body(p, ms, os_, vv, b, mu, r, None)
+                return (np_, nms, nos, nv), m
+
+            carry, metrics = jax.lax.scan(
+                f, (params, model_state, opt_state, v), (batches, rngs)
+            )
+            return (*carry, metrics)
+
+        return jax.jit(scan_steps)
 
     def _build_rho_step(self):
         """comp_rho without an optimizer step (epoch-end h, rho_test).
@@ -482,6 +541,36 @@ class SpectralTrainer:
             return self.task.eval_loss(params, model_state, batch)
 
         return jax.jit(step)
+
+    def _build_scan_eval(self):
+        """Epoch-end f recompute (opt.py:730-739) over a stack of
+        batches in ONE compiled program (chunked-dispatch twin of
+        ``_build_scan_steps``)."""
+
+        def scan_eval(params, model_state, batches):
+            def f(carry, b):
+                loss, _ = self.task.eval_loss(params, model_state, b)
+                return carry, loss
+
+            _, losses = jax.lax.scan(f, 0, batches)
+            return losses
+
+        return jax.jit(scan_eval)
+
+    def _build_split_chain(self):
+        """k sequential ``jax.random.split`` calls as one program, so
+        the scan path consumes the IDENTICAL rng stream the per-step
+        path would (trajectory equality), without k host dispatches."""
+
+        def split_chain(rng, k):
+            def f(r, _):
+                r, s = jax.random.split(r)
+                return r, s
+
+            rng, keys = jax.lax.scan(f, rng, None, length=k)
+            return rng, keys
+
+        return jax.jit(split_chain, static_argnums=1)
 
     def _get(self, name, builder):
         if name not in self._compiled:
@@ -630,7 +719,15 @@ class SpectralTrainer:
             # can poison the factors too — restore them together.
             snapshot = (self.params, self.model_state, self.opt_state,
                         self.v, self._precond_state, self._kfac_iter)
-        for j, data in enumerate(train_loader):
+        use_scan = (
+            self.scan_steps > 1 and defer and self.precond_builder is None
+        )
+        if use_scan:
+            rdata = self._scan_epoch_steps(train_loader, mu, rbatch, deferred)
+            batch_iter = ()
+        else:
+            batch_iter = enumerate(train_loader)
+        for j, data in batch_iter:
             if j == rbatch:
                 rdata = data
             with self.timers("G"):
@@ -665,9 +762,11 @@ class SpectralTrainer:
             # the epoch-start snapshot (params AND optimizer buffers —
             # the unconditional commits may have poisoned both)
             norms = jax.device_get(deferred)
+            # entries are scalars (per-step path) or (k,) arrays (scan
+            # chunks) — np.all handles both
             if not all(
-                np.isfinite(float(m["gradf_norm"]))
-                and np.isfinite(float(m["gradg_norm"]))
+                np.all(np.isfinite(np.asarray(m["gradf_norm"])))
+                and np.all(np.isfinite(np.asarray(m["gradg_norm"])))
                 for m in norms
             ):
                 (self.params, self.model_state, self.opt_state,
@@ -684,15 +783,18 @@ class SpectralTrainer:
         # epoch-end: weighted-mean f over all batches in eval mode
         # (opt.py:730-739), g on one random batch (opt.py:740).
         # Accumulate on device; one host transfer per epoch.
-        f_sum, w_sum = jnp.zeros(()), 0.0
         with self.timers("Test"):
-            for data in train_loader:
-                batch = self._put_batch(data)
-                loss, _ = eval_step(self.params, self.model_state, batch)
-                bw = float(np.sum(data["w"]))
-                f_sum = f_sum + loss * bw
-                w_sum += bw
-        self.f = float(f_sum) / max(w_sum, 1.0)
+            if use_scan:
+                self.f = self._scan_epoch_eval(train_loader)
+            else:
+                f_sum, w_sum = jnp.zeros(()), 0.0
+                for data in train_loader:
+                    batch = self._put_batch(data)
+                    loss, _ = eval_step(self.params, self.model_state, batch)
+                    bw = float(np.sum(data["w"]))
+                    f_sum = f_sum + loss * bw
+                    w_sum += bw
+                self.f = float(f_sum) / max(w_sum, 1.0)
 
         if self.pow_iter and rdata is not None:
             batch = self._put_batch(rdata)
@@ -730,6 +832,77 @@ class SpectralTrainer:
         if self.verbose:
             with open(self.verbose_log_file, "a") as fh:
                 fh.write(self.timers.report(["G", "Test", "Iteration"]) + "\n")
+
+    # ------------------------------------------------------------------
+    # chunked-dispatch (scan) epoch helpers
+    # ------------------------------------------------------------------
+    def _scan_epoch_steps(self, train_loader, mu, rbatch, deferred):
+        """Run the epoch's train steps in chunks of ``scan_steps``
+        batches, each chunk ONE compiled ``lax.scan`` program (one
+        stacked host->device transfer, one XLA launch, zero per-step
+        host work).  Returns the captured random batch for the
+        epoch-end comp_g.  A short final chunk reuses the same jitted
+        callable (jax re-traces per distinct chunk length, so at most
+        two programs per loader)."""
+        rdata = None
+        buf: List[Dict[str, Any]] = []
+        mu_arr = jnp.asarray(mu, jnp.float32)
+        for j, data in enumerate(train_loader):
+            if j == rbatch:
+                rdata = data
+            buf.append(data)
+            if len(buf) == self.scan_steps:
+                self._run_scan_chunk(buf, mu_arr, deferred)
+                buf = []
+        if buf:
+            self._run_scan_chunk(buf, mu_arr, deferred)
+        return rdata
+
+    def _run_scan_chunk(self, buf, mu_arr, deferred):
+        if self.params is None:
+            self.init_state(buf[0])
+        scan_prog = self._get("scan_steps", self._build_scan_steps)
+        split_chain = self._get("split_chain", self._build_split_chain)
+        stacked = self._put_stacked(buf)
+        self.rng, keys = split_chain(self.rng, len(buf))
+        with self.timers("G"):
+            (self.params, self.model_state, self.opt_state, self.v,
+             metrics) = scan_prog(
+                self.params, self.model_state, self.opt_state, self.v,
+                stacked, mu_arr, keys,
+            )
+        deferred.append(
+            {"gradf_norm": metrics["gradf_norm"],
+             "gradg_norm": metrics["gradg_norm"]}
+        )
+        self.mem_check()
+
+    def _scan_epoch_eval(self, train_loader) -> float:
+        """Epoch-end weighted-mean f, chunk-scanned: one XLA launch per
+        ``scan_steps`` batches, host syncs only after every chunk has
+        been dispatched."""
+        scan_eval = self._get("scan_eval", self._build_scan_eval)
+        chunks = []  # (device losses per batch, host batch weights)
+        buf, bws = [], []
+
+        def flush():
+            nonlocal buf, bws
+            losses = scan_eval(
+                self.params, self.model_state, self._put_stacked(buf)
+            )
+            chunks.append((losses, np.asarray(bws)))
+            buf, bws = [], []
+
+        for data in train_loader:
+            buf.append(data)
+            bws.append(float(np.sum(data["w"])))
+            if len(buf) == self.scan_steps:
+                flush()
+        if buf:
+            flush()
+        f_sum = sum(float(np.sum(np.asarray(l) * b)) for l, b in chunks)
+        w_sum = sum(float(np.sum(b)) for _, b in chunks)
+        return f_sum / max(w_sum, 1.0)
 
     # ------------------------------------------------------------------
     # full training (reference train(), opt.py:771-871)

@@ -151,6 +151,10 @@ _BREADTH = {
     "defer_metrics": dict(defer_metrics=True),
     "hvp_micro": dict(hvp_micro=2),
     "remat": dict(remat=True),
+    # chunked-dispatch scan path: stacked batches shard on axis 1
+    # (parallel.shard_stacked_batch); the scanned step must insert the
+    # same per-step collectives as the per-batch program
+    "scan": dict(defer_metrics=True, scan_steps=2),
 }
 
 

@@ -323,3 +323,50 @@ def test_defer_metrics_nan_recovery(tmp_path, data):
     np.testing.assert_array_equal(
         np.asarray(jax.tree_util.tree_leaves(tr.params)[0]), np.asarray(p0)
     )
+
+
+def test_scan_steps_matches_per_step(tmp_path):
+    """scan_steps=k (chunks of k train steps fused into one lax.scan
+    program, incl. a short remainder chunk and the chunk-scanned
+    epoch-end eval) must reproduce the per-step defer_metrics
+    trajectory exactly: the step body and the rng stream are shared, so
+    params, f, and rho agree to float tolerance."""
+    x, y = make_classification(320, 10, 4, seed=0)
+    x_v, y_v = make_classification(64, 10, 4, seed=1)
+
+    def run(scan_steps):
+        train_loader = ArrayLoader(x, y, batch_size=32, shuffle=True, seed=7)
+        valid_loader = ArrayLoader(x_v, y_v, batch_size=32)
+        tr = make_trainer(
+            tmp_path, header=f"SCAN{scan_steps}", max_iter=2,
+            defer_metrics=True, scan_steps=scan_steps,
+        )
+        tr.train(train_loader=train_loader, valid_loader=valid_loader)
+        return tr
+
+    a, b = run(1), run(4)  # 10 batches/epoch -> chunks of 4+4+2
+    np.testing.assert_allclose(a.f, b.f, rtol=1e-6)
+    np.testing.assert_allclose(a.rho, b.rho, rtol=1e-5)
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(a.params),
+        jax.tree_util.tree_leaves(b.params),
+    ):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_scan_steps_nan_recovery(tmp_path):
+    """A NaN step inside a scan chunk still restores the epoch-start
+    snapshot: the stacked per-chunk norms feed the same per-epoch
+    guard."""
+    x, y = make_classification(96, 10, 4, seed=0)
+    train_loader = ArrayLoader(x, y, batch_size=32)
+    tr = make_trainer(tmp_path, header="SCANNAN", defer_metrics=True,
+                      scan_steps=2, max_iter=1,
+                      optimizer=sgd(float("nan")))
+    first = next(iter(train_loader))
+    tr.init_state(first)
+    p0 = np.asarray(jax.tree_util.tree_leaves(tr.params)[0]).copy()
+    tr.iter_epoch(train_loader)
+    p1 = np.asarray(jax.tree_util.tree_leaves(tr.params)[0])
+    np.testing.assert_array_equal(p0, p1)
