@@ -32,19 +32,33 @@ TORCH_CPU_HVPS_PER_SEC = 0.16  # measured, batch 32
 TORCH_CPU_BATCH = 32
 
 
+def _cached_images(n, shape, n_classes, seed):
+    """Disk-cached make_images: generating 50k CIFAR-sized images costs
+    ~5 min of host RNG on this one-core machine — cache the arrays so
+    repeated bench configs pay it once."""
+    from optwboundeigenval_tpu.data.synthetic import make_images
+
+    cache = (f"/tmp/owb_data_cache/images_n{n}_s{'x'.join(map(str, shape))}"
+             f"_c{n_classes}_seed{seed}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return z["x"], z["y"]
+    x, y = make_images(n, shape=shape, n_classes=n_classes, seed=seed)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    np.savez(cache, x=x, y=y)
+    return x, y
+
+
 def main(steps=391, batch=128, scan_steps=1, workdir="/tmp/bench_epoch"):
     import jax.numpy as jnp
 
     from optwboundeigenval_tpu.data.loaders import ArrayLoader
-    from optwboundeigenval_tpu.data.synthetic import make_images
     from optwboundeigenval_tpu.models import DenseNet3
     from optwboundeigenval_tpu.optim import sgd
     from optwboundeigenval_tpu.train import SpectralTrainer, Task
 
     n = steps * batch
-    # synthetic CIFAR-sized dataset, generated in shards to bound host
-    # memory churn
-    x, y = make_images(n, shape=(32, 32, 3), n_classes=10, seed=0)
+    x, y = _cached_images(n, (32, 32, 3), 10, 0)
     loader = ArrayLoader(x.astype(np.float32), y.astype(np.int32),
                          batch_size=batch)
     task = Task(model=DenseNet3(dtype=jnp.bfloat16), has_batch_stats=True)
@@ -60,9 +74,15 @@ def main(steps=391, batch=128, scan_steps=1, workdir="/tmp/bench_epoch"):
     first = next(iter(loader))
     tr.init_state(first)
 
-    # compile warmup outside the timed epoch: the per-step (or
-    # chunk-of-k scan) program plus the epoch-end pass; with scan, the
-    # remainder chunk (steps % k) is a second trace — warm both lengths
+    # Snapshot the INIT state, warm-compile every program the epoch
+    # needs, then restore the snapshot before timing: the timed epoch
+    # starts from the IDENTICAL training state for every scan_steps
+    # config.  (Power-iteration trip counts are strongly
+    # state-dependent on this synthetic task, so timing epochs that
+    # start from different warm-up states is apples-to-oranges — the
+    # round-3 scan_steps investigation hit exactly that.)
+    snap = (tr.params, tr.model_state, tr.opt_state, tr.v, tr.rng)
+
     def warm_epoch(n_batches):
         m = n_batches * batch
         tr.iter_epoch(
@@ -77,6 +97,9 @@ def main(steps=391, batch=128, scan_steps=1, workdir="/tmp/bench_epoch"):
             warm_epoch(rem)
     else:
         warm_epoch(2)
+
+    tr.params, tr.model_state, tr.opt_state, tr.v, tr.rng = snap
+    tr._np_rng = np.random.default_rng(tr.seed)
 
     t0 = time.perf_counter()
     tr.iter_epoch(loader)

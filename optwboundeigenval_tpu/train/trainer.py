@@ -96,6 +96,7 @@ class SpectralTrainer:
         hvp_micro: int = 0,
         defer_metrics: bool = False,
         scan_steps: int = 1,
+        donate: bool = False,
         full_ckpt: bool = False,
         profile_dir: Optional[str] = None,
         profile_epoch: int = 0,
@@ -202,6 +203,17 @@ class SpectralTrainer:
         # falls back to the per-step path otherwise.  Trajectory is
         # identical either way (test_trainer::test_scan_steps_*).
         self.scan_steps = int(scan_steps)
+        # donate: alias the (params, model_state, opt_state, v) buffers
+        # into the step program in place of fresh outputs — XLA then
+        # updates them in-place, dropping one full copy of the
+        # parameter + optimizer trees from peak HBM (the knob that fits
+        # DenseNet121@224px at batch 96).  Trade-off: the pre-step
+        # buffers no longer exist after the call, so the fetch=True
+        # non-finite guard can no longer withhold the commit — recovery
+        # falls back to checkpoint reload (the reference's own rollback,
+        # opt.py:696-708) or, with defer_metrics, to the epoch-start
+        # snapshot (deep-copied when donating).
+        self.donate = donate
         # write a save_full checkpoint at every epoch end, enabling
         # exact mid-run resume (train() itself ends with the BEST model
         # loaded — reference test_set semantics, opt.py:868-871 — so a
@@ -468,6 +480,8 @@ class SpectralTrainer:
 
     def _build_train_step(self):
         """The single compiled program per batch."""
+        if self.donate:
+            return jax.jit(self._step_body(), donate_argnums=(0, 1, 2, 3))
         return jax.jit(self._step_body())
 
     def _build_scan_steps(self):
@@ -498,6 +512,11 @@ class SpectralTrainer:
             )
             return (*carry, metrics)
 
+        if self.donate:
+            # chunk commits are unconditional (defer protocol), so
+            # donation is always safe here; the epoch-start snapshot is
+            # deep-copied when donating (_iter_epoch_body)
+            return jax.jit(scan_steps, donate_argnums=(0, 1, 2, 3))
         return jax.jit(scan_steps)
 
     def _build_rho_step(self):
@@ -669,11 +688,16 @@ class SpectralTrainer:
             np.isfinite(float(metrics["gradf_norm"]))
             and np.isfinite(float(metrics["gradg_norm"]))
         )
-        if step_ok:
+        if step_ok or self.donate:
+            # with donated buffers the pre-step state no longer exists,
+            # so a bad step commits anyway; recovery is the caller's
+            # checkpoint reload (iter_epoch non-defer path — exactly the
+            # reference's rollback, opt.py:696-708)
             self.params = new_params
             self.model_state = new_model_state
             self.opt_state = new_opt_state
             self.v = new_v
+        if step_ok:
             self.rho = float(metrics["rho"])
             self.norm = float(metrics["norm"])
             self.g = float(metrics["g"])
@@ -719,6 +743,13 @@ class SpectralTrainer:
             # can poison the factors too — restore them together.
             snapshot = (self.params, self.model_state, self.opt_state,
                         self.v, self._precond_state, self._kfac_iter)
+            if self.donate:
+                # donated programs consume these exact buffers on the
+                # first step — the recovery point must be a real copy
+                snapshot = jax.tree.map(
+                    lambda a: a.copy() if isinstance(a, jax.Array) else a,
+                    snapshot,
+                )
         use_scan = (
             self.scan_steps > 1 and defer and self.precond_builder is None
         )

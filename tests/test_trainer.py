@@ -355,6 +355,54 @@ def test_scan_steps_matches_per_step(tmp_path):
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_donate_matches(tmp_path):
+    """donate=True (in-place buffer aliasing: params/opt_state/v donated
+    into the step and scan programs — the HBM knob that fits
+    DenseNet121@224px at batch 96) must not change the trajectory, in
+    either the per-step or the chunked-scan path.  On CPU XLA ignores
+    the donation hint, but the full API path (deep-copied defer
+    snapshot, unconditional commit) is exercised."""
+    x, y = make_classification(320, 10, 4, seed=0)
+    x_v, y_v = make_classification(64, 10, 4, seed=1)
+
+    def run(donate, scan_steps):
+        train_loader = ArrayLoader(x, y, batch_size=32, shuffle=True, seed=7)
+        valid_loader = ArrayLoader(x_v, y_v, batch_size=32)
+        tr = make_trainer(
+            tmp_path, header=f"DON{int(donate)}S{scan_steps}", max_iter=2,
+            defer_metrics=True, scan_steps=scan_steps, donate=donate,
+        )
+        tr.train(train_loader=train_loader, valid_loader=valid_loader)
+        return tr
+
+    base = run(False, 1)
+    for tr in (run(True, 1), run(True, 4)):
+        np.testing.assert_allclose(base.f, tr.f, rtol=1e-6)
+        for la, lb in zip(
+            jax.tree_util.tree_leaves(base.params),
+            jax.tree_util.tree_leaves(tr.params),
+        ):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=1e-6, atol=1e-7)
+
+
+def test_donate_nan_recovery(tmp_path):
+    """With donation the pre-step buffers are consumed, so the defer
+    snapshot must be a REAL copy: a NaN epoch still restores the
+    epoch-start params."""
+    x, y = make_classification(96, 10, 4, seed=0)
+    train_loader = ArrayLoader(x, y, batch_size=32)
+    tr = make_trainer(tmp_path, header="DONNAN", defer_metrics=True,
+                      scan_steps=2, donate=True, max_iter=1,
+                      optimizer=sgd(float("nan")))
+    first = next(iter(train_loader))
+    tr.init_state(first)
+    p0 = np.asarray(jax.tree_util.tree_leaves(tr.params)[0]).copy()
+    tr.iter_epoch(train_loader)
+    p1 = np.asarray(jax.tree_util.tree_leaves(tr.params)[0])
+    np.testing.assert_array_equal(p0, p1)
+
+
 def test_scan_steps_nan_recovery(tmp_path):
     """A NaN step inside a scan chunk still restores the epoch-start
     snapshot: the stacked per-chunk norms feed the same per-epoch
