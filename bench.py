@@ -107,6 +107,14 @@ def main() -> None:
     # sweet spot (RESULTS.md round-3 224px table)
     s224 = measure_step("dn121", batch=64, remat=True, defer=True,
                         px=224)
+    # north-star: one COMPLETE CIFAR-10-scale epoch (50k images, 391
+    # spectral steps + epoch-end full-train-set eval + random-batch
+    # rho) with the device-resident dataset (DeviceArrayLoader: pixels
+    # live in HBM, per-step host->device traffic is a 512 B index
+    # vector — the tunneled-TPU epoch is transfer-bound otherwise)
+    from benchmarks.bench_epoch_wallclock import main as measure_epoch
+
+    epoch = measure_epoch(device_data=True, verbose=False)
     examples_per_sec = dn["hvps_per_sec"] * BATCH
     baseline_examples = (
         TORCH_CPU_DENSENET40_HVPS_PER_SEC * TORCH_CPU_DENSENET40_BATCH
@@ -124,6 +132,8 @@ def main() -> None:
                 "tflops_per_sec": dn["tflops_per_sec"],
                 "mfu_pct_bf16_peak": dn["mfu_pct_bf16_peak"],
                 "spectral_steps_per_sec_dn40_defer": sstep["steps_per_sec"],
+                "epoch_wallclock_s_cifar50k": epoch["epoch_wallclock_s"],
+                "epoch_speedup_vs_torch_cpu": epoch["speedup_vs_torch_cpu"],
                 "spectral_steps_per_sec_dn121_224": s224["steps_per_sec"],
                 "examples_per_sec_dn121_224": s224["examples_per_sec"],
                 "mfu_pct_dn121_224": s224["mfu_pct_bf16_peak"],

@@ -28,7 +28,8 @@ import numpy as np
 
 
 def build_trainer(model_name, batch, remat, defer=False, px=None,
-                  hvp_micro=0, scan_steps=1, workdir="/tmp/bench_sstep"):
+                  hvp_micro=0, scan_steps=1, donate=False,
+                  workdir="/tmp/bench_sstep"):
     import jax.numpy as jnp
 
     from optwboundeigenval_tpu.data.loaders import ArrayLoader
@@ -69,7 +70,7 @@ def build_trainer(model_name, batch, remat, defer=False, px=None,
         task, sgd(0.1, momentum=0.9), mu=0.01, K=0.0, pow_iter_eps=0.05,
         batch_size=batch, max_pow_iter=100, ignore_bad_vals=False,
         remat=remat, defer_metrics=defer, hvp_micro=hvp_micro,
-        scan_steps=scan_steps,
+        scan_steps=scan_steps, donate=donate,
         header="BENCH_SSTEP", seed=0,
         log_dir=os.path.join(workdir, "logs"),
         model_dir=os.path.join(workdir, "models"),
@@ -80,9 +81,11 @@ def build_trainer(model_name, batch, remat, defer=False, px=None,
 
 
 def measure(model_name="dn40", batch=128, remat=True, defer=False,
-            px=None, hvp_micro=0, scan_steps=1, n_small=5, n_large=20):
+            px=None, hvp_micro=0, scan_steps=1, donate=False,
+            n_small=5, n_large=20):
     tr, batches = build_trainer(model_name, batch, remat, defer, px=px,
-                                hvp_micro=hvp_micro, scan_steps=scan_steps)
+                                hvp_micro=hvp_micro, scan_steps=scan_steps,
+                                donate=donate)
 
     if scan_steps > 1:
         import jax.numpy as jnp
@@ -163,7 +166,7 @@ def measure(model_name="dn40", batch=128, remat=True, defer=False,
 
     return dict(
         model=model_name, batch=batch, remat=remat, defer=defer,
-        px=px, hvp_micro=hvp_micro, scan_steps=scan_steps,
+        px=px, hvp_micro=hvp_micro, scan_steps=scan_steps, donate=donate,
         steps_per_sec=round(steps, 4),
         examples_per_sec=round(steps * batch, 1),
         mean_pow_iters=pow_iters,
@@ -184,6 +187,10 @@ if __name__ == "__main__":
     ap.add_argument("--scan_steps", type=int, default=1,
                     help="fuse chunks of k steps into one lax.scan "
                          "program (implies the defer protocol)")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate params/opt_state/v into the step "
+                         "program (in-place update, ~1 param+opt tree "
+                         "less peak HBM)")
     ap.add_argument("--n_small", type=int, default=5)
     ap.add_argument("--n_large", type=int, default=20)
     args = ap.parse_args()
@@ -191,5 +198,6 @@ if __name__ == "__main__":
                              args.defer, px=args.px,
                              hvp_micro=args.hvp_micro,
                              scan_steps=args.scan_steps,
+                             donate=args.donate,
                              n_small=args.n_small,
                              n_large=args.n_large)), flush=True)

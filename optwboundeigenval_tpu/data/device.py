@@ -1,0 +1,128 @@
+"""Device-resident dataset loader.
+
+The reference streams every batch from host RAM through the torch
+DataLoader (opt.py:873-880); on a TPU behind a network tunnel that
+pattern is transfer-bound — a CIFAR-sized epoch moves ~600 MB of pixels
+host→device for the train pass and again for the epoch-end eval pass,
+while the actual step compute takes a fraction of that time.
+
+``DeviceArrayLoader`` is the TPU-native alternative when the dataset
+fits in HBM (CIFAR f32 is 614 MB against 16 GB on v5e): the full
+``(x, y)`` arrays are placed on device ONCE, the per-epoch shuffle
+happens on host (a numpy permutation, identical to
+:class:`ArrayLoader`'s), and each batch is materialised by a jitted
+on-device gather whose only host→device traffic is the ``(batch,)``
+int32 index vector — 512 bytes instead of 1.5 MB for CIFAR b128.
+
+Semantics match :class:`ArrayLoader` exactly (same seed → same batch
+order; the padded tail batch carries zero rows with ``w = 0``): padding
+is implemented by gathering row 0 and multiplying by the ``w > 0``
+mask, which reproduces the host loader's zero-filled rows bit-exactly,
+so trajectories are identical either way
+(tests/test_data.py::test_device_loader_matches_arrayloader).
+
+Single-process loader: the gathered batches live on the default device
+and the trainer's ``_put_batch`` reshards them across a single-process
+mesh as usual.  Multi-host pipelines keep using the host
+:class:`ArrayLoader` with ``host_shard``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def _gather(x, y, idx, w):
+    """Gather rows ``idx`` of the device-resident dataset and zero the
+    padded tail (rows where ``w == 0``), matching the host loader's
+    zero-filled padding."""
+    xb = jnp.take(x, idx, axis=0)
+    yb = jnp.take(y, idx, axis=0)
+    mask = (w > 0)
+    xb = xb * mask.reshape((-1,) + (1,) * (xb.ndim - 1)).astype(xb.dtype)
+    yb = yb * mask.reshape((-1,) + (1,) * (yb.ndim - 1)).astype(yb.dtype)
+    return xb, yb
+
+
+class DeviceArrayLoader:
+    """Drop-in :class:`ArrayLoader` replacement yielding device-resident
+    batches ``{"x": jax.Array, "y": jax.Array, "w": np.ndarray}``.
+
+    ``w`` stays a host array: the trainer reduces it host-side
+    (weighted-mean bookkeeping) and ships it to device as a step
+    argument exactly as with the host loader.
+    """
+
+    def __init__(
+        self,
+        x: np.ndarray,
+        y: np.ndarray,
+        batch_size: int = 128,
+        *,
+        shuffle: bool = False,
+        seed: int = 0,
+        pad: bool = True,
+        drop_remainder: bool = False,
+        device=None,
+    ):
+        assert len(x) == len(y)
+        xh = np.asarray(x)
+        yh = np.asarray(y)
+        put = jax.device_put if device is None else partial(
+            jax.device_put, device=device)
+        self.x = put(xh)
+        self.y = put(yh)
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.pad = pad
+        self.drop_remainder = drop_remainder
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = int(self.x.shape[0])
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    @property
+    def num_examples(self) -> int:
+        return int(self.x.shape[0])
+
+    def _emit(self, take: np.ndarray) -> Dict[str, np.ndarray]:
+        bs = self.batch_size
+        n_valid = len(take)
+        w = np.ones(n_valid, dtype=np.float32)
+        if self.pad and n_valid < bs:
+            take = np.concatenate(
+                [take, np.zeros(bs - n_valid, take.dtype)])
+            w = np.concatenate([w, np.zeros(bs - n_valid, np.float32)])
+        xb, yb = _gather(self.x, self.y, jnp.asarray(take, jnp.int32),
+                         jnp.asarray(w))
+        return {"x": xb, "y": yb, "w": w}
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = int(self.x.shape[0])
+        idx = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        self._epoch += 1
+        bs = self.batch_size
+        stop = (n // bs) * bs if self.drop_remainder else n
+        for start in range(0, stop, bs):
+            yield self._emit(idx[start:start + bs])
+
+    def random_batch(self, rng: Optional[np.random.Generator] = None):
+        """One uniformly random batch (epoch-end rho estimation,
+        opt.py:604-612)."""
+        rng = rng or self._rng
+        n = int(self.x.shape[0])
+        take = rng.choice(n, size=min(self.batch_size, n), replace=False)
+        return self._emit(take)

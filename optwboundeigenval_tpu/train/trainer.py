@@ -289,10 +289,17 @@ class SpectralTrainer:
     def _put_stacked(self, batches):
         """Stack a list of same-shape batch dicts along a new leading
         axis and place the stack on device in ONE transfer (scan path).
-        Under a mesh the BATCH axis (axis 1) is the data-sharded one;
-        the scan axis is unsharded."""
+        Batches from a DeviceArrayLoader are already device-resident:
+        those are stacked on device by a jitted program (np.stack would
+        silently fetch them back through the tunnel).  Under a mesh the
+        BATCH axis (axis 1) is the data-sharded one; the scan axis is
+        unsharded."""
+        stack_dev = self._get(
+            "stack_dev", lambda: jax.jit(lambda *xs: jnp.stack(xs)))
         stacked = {
-            k: np.stack([np.asarray(b[k]) for b in batches])
+            k: (stack_dev(*[b[k] for b in batches])
+                if isinstance(batches[0][k], jax.Array)
+                else np.stack([np.asarray(b[k]) for b in batches]))
             for k in batches[0]
         }
         if self.mesh is not None:

@@ -117,3 +117,38 @@ def test_augment_recipes_shapes():
     assert out2.shape == xc.shape
     # augmentation actually changes pixels
     assert np.abs(out2 - xc).max() > 0
+
+
+def test_device_loader_matches_arrayloader():
+    """DeviceArrayLoader (device-resident dataset, 512 B of index
+    traffic per batch instead of the full pixel payload) yields
+    bit-identical batches to ArrayLoader: same seeded shuffle order,
+    same zero-filled w=0 padding rows."""
+    from optwboundeigenval_tpu.data.device import DeviceArrayLoader
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(37, 4, 4, 2)).astype(np.float32)
+    y = rng.integers(0, 5, size=37).astype(np.int32)
+    host = ArrayLoader(x, y, batch_size=8, shuffle=True, seed=11)
+    dev = DeviceArrayLoader(x, y, batch_size=8, shuffle=True, seed=11)
+    for _ in range(2):  # shuffle state advances identically per epoch
+        hb = list(host)
+        db = list(dev)
+        assert len(hb) == len(db) == 5
+        for h, d in zip(hb, db):
+            np.testing.assert_array_equal(h["x"], np.asarray(d["x"]))
+            np.testing.assert_array_equal(h["y"], np.asarray(d["y"]))
+            np.testing.assert_array_equal(h["w"], np.asarray(d["w"]))
+
+
+def test_device_loader_random_batch_and_len():
+    from optwboundeigenval_tpu.data.device import DeviceArrayLoader
+
+    x = np.arange(20, dtype=np.float32).reshape(10, 2)
+    y = np.arange(10, dtype=np.int32)
+    dev = DeviceArrayLoader(x, y, batch_size=4)
+    assert len(dev) == 3
+    assert dev.num_examples == 10
+    b = dev.random_batch(np.random.default_rng(0))
+    assert np.asarray(b["x"]).shape == (4, 2)
+    assert b["w"].sum() == 4.0

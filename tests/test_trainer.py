@@ -418,3 +418,35 @@ def test_scan_steps_nan_recovery(tmp_path):
     tr.iter_epoch(train_loader)
     p1 = np.asarray(jax.tree_util.tree_leaves(tr.params)[0])
     np.testing.assert_array_equal(p0, p1)
+
+
+def test_device_loader_trajectory_matches_host(tmp_path):
+    """Feeding the trainer from a DeviceArrayLoader (device-resident
+    dataset, index-only host->device traffic) must reproduce the host
+    ArrayLoader trajectory exactly, through both the per-step and the
+    chunked-scan paths (the scan path stacks device-resident batches
+    with an on-device jnp.stack instead of np.stack)."""
+    from optwboundeigenval_tpu.data.device import DeviceArrayLoader
+
+    x, y = make_classification(320, 10, 4, seed=0)
+    x_v, y_v = make_classification(64, 10, 4, seed=1)
+
+    def run(loader_cls, scan_steps):
+        train_loader = loader_cls(x, y, batch_size=32, shuffle=True, seed=7)
+        valid_loader = ArrayLoader(x_v, y_v, batch_size=32)
+        tr = make_trainer(
+            tmp_path, header=f"DEV{loader_cls.__name__[:1]}S{scan_steps}",
+            max_iter=2, defer_metrics=True, scan_steps=scan_steps,
+        )
+        tr.train(train_loader=train_loader, valid_loader=valid_loader)
+        return tr
+
+    base = run(ArrayLoader, 1)
+    for tr in (run(DeviceArrayLoader, 1), run(DeviceArrayLoader, 4)):
+        np.testing.assert_allclose(base.f, tr.f, rtol=1e-6)
+        for la, lb in zip(
+            jax.tree_util.tree_leaves(base.params),
+            jax.tree_util.tree_leaves(tr.params),
+        ):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=1e-6, atol=1e-7)
