@@ -114,7 +114,10 @@ def main() -> None:
     # vector — the tunneled-TPU epoch is transfer-bound otherwise)
     from benchmarks.bench_epoch_wallclock import main as measure_epoch
 
-    epoch = measure_epoch(device_data=True, verbose=False)
+    # scan_steps=8: chunks of 8 steps fused into one lax.scan program —
+    # pays only once data is device-resident (with a host loader the
+    # stacked uploads serialize and scan LOSES; RESULTS.md epoch table)
+    epoch = measure_epoch(device_data=True, scan_steps=8, verbose=False)
     examples_per_sec = dn["hvps_per_sec"] * BATCH
     baseline_examples = (
         TORCH_CPU_DENSENET40_HVPS_PER_SEC * TORCH_CPU_DENSENET40_BATCH

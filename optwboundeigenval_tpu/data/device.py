@@ -38,17 +38,48 @@ import jax
 import jax.numpy as jnp
 
 
-@jax.jit
-def _gather(x, y, idx, w):
-    """Gather rows ``idx`` of the device-resident dataset and zero the
-    padded tail (rows where ``w == 0``), matching the host loader's
+def _make_gather(transform, augment):
+    """Build the jitted gather program: take rows ``idx`` of the
+    device-resident dataset, apply the deterministic ``transform``
+    (e.g. uint8 → normalized float — lets the dataset sit in HBM at 1/4
+    the footprint) and the key-driven ``augment`` (random flip/crop on
+    the VPU — the reference does torchvision augmentation on host,
+    usps_data.py:25-33 / cifar_data.py:98-106), then zero the padded
+    tail (rows where ``w == 0``), matching the host loader's
     zero-filled padding."""
-    xb = jnp.take(x, idx, axis=0)
-    yb = jnp.take(y, idx, axis=0)
-    mask = (w > 0)
-    xb = xb * mask.reshape((-1,) + (1,) * (xb.ndim - 1)).astype(xb.dtype)
-    yb = yb * mask.reshape((-1,) + (1,) * (yb.ndim - 1)).astype(yb.dtype)
-    return xb, yb
+
+    @partial(jax.jit, static_argnames=("use_aug",))
+    def gather(x, y, idx, w, key, *, use_aug):
+        xb = jnp.take(x, idx, axis=0)
+        yb = jnp.take(y, idx, axis=0)
+        if transform is not None:
+            xb = transform(xb)
+        if augment is not None and use_aug:
+            xb = augment(xb, key)
+        mask = (w > 0)
+        xb = xb * mask.reshape((-1,) + (1,) * (xb.ndim - 1)).astype(xb.dtype)
+        yb = yb * mask.reshape((-1,) + (1,) * (yb.ndim - 1)).astype(yb.dtype)
+        return xb, yb
+
+    return gather
+
+
+def cifar_augment_device(x, key, pad: int = 4, flip_p: float = 0.5):
+    """On-device CIFAR recipe: random horizontal flip + random crop
+    with ``pad``-pixel padding (the reference's torchvision recipe,
+    cifar_data.py:98-106, moved off the host: one fused VPU program per
+    batch instead of a scipy loop over images)."""
+    kf, kc = jax.random.split(key)
+    b, h, w, c = x.shape
+    flip = jax.random.bernoulli(kf, flip_p, (b,))
+    x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    offs = jax.random.randint(kc, (b, 2), 0, 2 * pad + 1)
+
+    def crop(img, off):
+        return jax.lax.dynamic_slice(img, (off[0], off[1], 0), (h, w, c))
+
+    return jax.vmap(crop)(xp, offs)
 
 
 class DeviceArrayLoader:
@@ -70,6 +101,8 @@ class DeviceArrayLoader:
         seed: int = 0,
         pad: bool = True,
         drop_remainder: bool = False,
+        transform=None,
+        augment=None,
         device=None,
     ):
         assert len(x) == len(y)
@@ -83,7 +116,15 @@ class DeviceArrayLoader:
         self.shuffle = shuffle
         self.pad = pad
         self.drop_remainder = drop_remainder
+        # transform: deterministic on-device per-batch map (e.g.
+        # uint8 → normalized float); augment: fn(x_batch, key) — random
+        # on-device augmentation, applied to __iter__ batches only
+        # (like the host loader's hook), never to random_batch
+        self.transform = transform
+        self.augment = augment
+        self._gather = _make_gather(transform, augment)
         self._rng = np.random.default_rng(seed)
+        self._key = jax.random.PRNGKey(seed)
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -96,7 +137,7 @@ class DeviceArrayLoader:
     def num_examples(self) -> int:
         return int(self.x.shape[0])
 
-    def _emit(self, take: np.ndarray) -> Dict[str, np.ndarray]:
+    def _emit(self, take: np.ndarray, use_aug: bool = False):
         bs = self.batch_size
         n_valid = len(take)
         w = np.ones(n_valid, dtype=np.float32)
@@ -104,8 +145,12 @@ class DeviceArrayLoader:
             take = np.concatenate(
                 [take, np.zeros(bs - n_valid, take.dtype)])
             w = np.concatenate([w, np.zeros(bs - n_valid, np.float32)])
-        xb, yb = _gather(self.x, self.y, jnp.asarray(take, jnp.int32),
-                         jnp.asarray(w))
+        if use_aug and self.augment is not None:
+            self._key, key = jax.random.split(self._key)
+        else:
+            use_aug, key = False, self._key
+        xb, yb = self._gather(self.x, self.y, jnp.asarray(take, jnp.int32),
+                              jnp.asarray(w), key, use_aug=use_aug)
         return {"x": xb, "y": yb, "w": w}
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -117,7 +162,7 @@ class DeviceArrayLoader:
         bs = self.batch_size
         stop = (n // bs) * bs if self.drop_remainder else n
         for start in range(0, stop, bs):
-            yield self._emit(idx[start:start + bs])
+            yield self._emit(idx[start:start + bs], use_aug=True)
 
     def random_batch(self, rng: Optional[np.random.Generator] = None):
         """One uniformly random batch (epoch-end rho estimation,

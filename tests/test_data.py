@@ -152,3 +152,64 @@ def test_device_loader_random_batch_and_len():
     b = dev.random_batch(np.random.default_rng(0))
     assert np.asarray(b["x"]).shape == (4, 2)
     assert b["w"].sum() == 4.0
+
+
+def test_device_loader_transform_and_augment():
+    """On-device transform (uint8 storage -> normalized float: the
+    dataset sits in HBM at 1/4 footprint) and key-driven augmentation
+    (random flip+crop on device, cifar_data.py:98-106 recipe) —
+    deterministic from the seed, padding rows stay zero."""
+    import jax.numpy as jnp
+
+    from optwboundeigenval_tpu.data.device import (
+        DeviceArrayLoader, cifar_augment_device)
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, size=(21, 8, 8, 3)).astype(np.uint8)
+    y = rng.integers(0, 5, size=21).astype(np.int32)
+
+    def mk():
+        return DeviceArrayLoader(
+            x, y, batch_size=8, shuffle=True, seed=5,
+            transform=lambda xb: xb.astype(jnp.float32) / 255.0,
+            augment=cifar_augment_device,
+        )
+
+    b1 = list(mk())
+    b2 = list(mk())
+    assert len(b1) == 3
+    for a, b in zip(b1, b2):  # same seed -> identical augmented stream
+        np.testing.assert_array_equal(np.asarray(a["x"]), np.asarray(b["x"]))
+        np.testing.assert_array_equal(np.asarray(a["y"]), np.asarray(b["y"]))
+    xa = np.asarray(b1[0]["x"])
+    assert xa.dtype == np.float32 and xa.max() <= 1.0
+    # padded tail rows (w=0) are zero even after transform+augment
+    last = b1[-1]
+    np.testing.assert_array_equal(
+        np.asarray(last["x"])[last["w"] == 0], 0.0)
+    # random_batch applies transform but never augmentation
+    rb1 = mk().random_batch(np.random.default_rng(1))
+    rb2 = mk().random_batch(np.random.default_rng(1))
+    np.testing.assert_array_equal(np.asarray(rb1["x"]), np.asarray(rb2["x"]))
+
+
+def test_cifar_augment_device_is_flip_crop():
+    """Every augmented image must be an (optionally flipped) crop of the
+    zero-padded original."""
+    import jax
+
+    from optwboundeigenval_tpu.data.device import cifar_augment_device
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(4, 6, 6, 1)).astype(np.float32)
+    out = np.asarray(cifar_augment_device(
+        jnp.asarray(x) if False else x, jax.random.PRNGKey(0), pad=2))
+    assert out.shape == x.shape
+    for i in range(4):
+        cands = []
+        for img in (x[i], x[i][:, ::-1, :]):
+            p = np.pad(img, ((2, 2), (2, 2), (0, 0)))
+            for oy in range(5):
+                for ox in range(5):
+                    cands.append(p[oy:oy + 6, ox:ox + 6, :])
+        assert any(np.allclose(out[i], c) for c in cands)
