@@ -171,3 +171,29 @@ class DeviceArrayLoader:
         n = int(self.x.shape[0])
         take = rng.choice(n, size=min(self.batch_size, n), replace=False)
         return self._emit(take)
+
+
+def as_device_loader(loader, transform=None, augment=None):
+    """Convert a host :class:`ArrayLoader` into a
+    :class:`DeviceArrayLoader` over the same data — same batch size,
+    padding, and (by copying the generator state) the same shuffle
+    stream, so the batch order is identical from the point of
+    conversion.  The config driver's ``device_data`` flag routes train
+    loaders through this.
+
+    Host augmentation hooks cannot move to device automatically; pass a
+    device-side ``augment`` or keep the host loader."""
+    if getattr(loader, "augment", None) is not None and augment is None:
+        raise ValueError(
+            "loader has a host augment hook; pass a device-side "
+            "augment= (e.g. cifar_augment_device) or keep the host "
+            "loader")
+    dev = DeviceArrayLoader(
+        np.asarray(loader.x), np.asarray(loader.y),
+        batch_size=loader.batch_size,
+        shuffle=loader.shuffle, pad=loader.pad,
+        drop_remainder=loader.drop_remainder,
+        transform=transform, augment=augment,
+    )
+    dev._rng.bit_generator.state = loader._rng.bit_generator.state
+    return dev

@@ -103,6 +103,19 @@ def run(options: Dict[str, Any]) -> SpectralTrainer:
     trainer = build_trainer(options)
     batch_size = options.get("batch_size", 128)
     train_loader, valid_loader, test_loaders = _loaders(options, batch_size)
+    if options.get("device_data") and isinstance(train_loader, ArrayLoader):
+        # device-resident training data (HBM dataset + on-device
+        # gather): removes the per-batch host->device pixel transfers —
+        # the dominant epoch cost on a tunneled chip (RESULTS.md epoch
+        # table).  Config may supply a device-side augment via
+        # device_augment= (host augment hooks cannot be converted).
+        from optwboundeigenval_tpu.data.device import as_device_loader
+
+        train_loader = as_device_loader(
+            train_loader,
+            transform=options.get("device_transform"),
+            augment=options.get("device_augment"),
+        )
     train_loader_na = options.get("train_loader_na")
     crops = options.get("crops", False)
 

@@ -244,3 +244,51 @@ def test_saliency_maps(tmp_path):
     assert os.path.exists(
         str(tmp_path / "plots" / f"{tr.header2}_saliency_0.png")
     )
+
+
+def test_driver_device_data_flag(tmp_path, monkeypatch):
+    """device_data=1 (CLI-overridable) routes the train loader through
+    as_device_loader: same data, same seeded shuffle stream, trainer
+    runs end-to-end on device-resident batches."""
+    monkeypatch.chdir(tmp_path)
+    x, y = make_classification(128, 10, 4, seed=0)
+    xt, yt = make_classification(64, 10, 4, seed=0)
+
+    def opts(device_data):
+        return {
+            "model": ForestNet(hidden=10, num_classes=4),
+            "optimizer": sgd(0.1),
+            "loss": "cross_entropy",
+            "mu": 0.01, "K": 1.0, "batch_size": 32,
+            "max_iter": 2, "min_iter": 1, "max_pow_iter": 20,
+            "pow_iter_eps": 1e-2,
+            "header": f"DRVDEV{int(device_data)}",
+            "train_loader": ArrayLoader(x, y, 32, shuffle=True, seed=1),
+            "valid_loader": ArrayLoader(xt, yt, 32),
+            "train": True, "test": False,
+            "device_data": device_data,
+        }
+
+    tr_host = run(opts(False))
+    tr_dev = run(opts(True))
+    import jax as _jax
+    import numpy as _np
+    for la, lb in zip(
+        _jax.tree_util.tree_leaves(tr_host.params),
+        _jax.tree_util.tree_leaves(tr_dev.params),
+    ):
+        _np.testing.assert_allclose(_np.asarray(la), _np.asarray(lb),
+                                    rtol=1e-6, atol=1e-7)
+
+
+def test_as_device_loader_rejects_host_augment():
+    import numpy as _np
+    import pytest as _pytest
+
+    from optwboundeigenval_tpu.data.device import as_device_loader
+
+    x = _np.zeros((8, 2), _np.float32)
+    y = _np.zeros(8, _np.int32)
+    ld = ArrayLoader(x, y, 4, augment=lambda xb, rng: xb)
+    with _pytest.raises(ValueError):
+        as_device_loader(ld)
