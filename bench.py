@@ -94,19 +94,80 @@ def usps_hvps_per_sec() -> float:
     return 1200 / max(times[1600] - times[400], 1e-9)
 
 
+def measure_s224_bounded(budget_s: int = 600):
+    """DenseNet121@224px spectral step, in a BOUNDED subprocess.
+
+    The 224px step program is a multi-hundred-MB HLO whose cold compile
+    can exceed the driver's whole bench budget; measuring it in a child
+    with a timeout keeps the bench line deliverable either way (keys go
+    null on timeout).  Must run BEFORE the parent touches the TPU: the
+    tunneled chip serves one client at a time, so the child gets
+    exclusive access and exits before the parent's first device op."""
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sidecar = os.path.join(here, "benchmarks", "last_s224.json")
+    budget_s = int(os.environ.get("OWB_BENCH_S224_BUDGET", budget_s))
+    cmd = [
+        sys.executable,
+        os.path.join(here, "benchmarks", "bench_spectral_step.py"),
+        "--model", "dn121", "--px", "224", "--batch", "64",
+        "--remat", "--defer",
+    ]
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=budget_s)
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                res = json.loads(line)
+                res["s224_source"] = "live"
+                with open(sidecar, "w") as fh:
+                    json.dump(res, fh)
+                return res
+    except (subprocess.TimeoutExpired, json.JSONDecodeError):
+        pass
+    except Exception as e:  # pragma: no cover - subprocess plumbing
+        print(f"# s224 subprocess failed: {e}", file=sys.stderr, flush=True)
+    # compile alone exceeds the budget (the persistent XLA cache does
+    # not hit for this multi-hundred-MB program on the tunneled
+    # backend): fall back to the last completed measurement on this
+    # same chip, labeled as recorded rather than silently live
+    if os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            res = json.load(fh)
+        res["s224_source"] = "recorded"
+        return res
+    return None
+
+
 def main() -> None:
+    import sys
+
+    t_start = time.perf_counter()
+
+    def _stage(name):
+        print(f"# bench stage {name} at t={time.perf_counter() - t_start:.0f}s",
+              file=sys.stderr, flush=True)
+
+    # FIRST, before this process opens the TPU client (one client at a
+    # time through the tunnel): the heavyweight 224px measure, bounded
+    _stage("dn121_224_sstep_subprocess")
+    s224 = measure_s224_bounded()
+
     from benchmarks.bench_densenet_hvp import measure
     from benchmarks.bench_spectral_step import measure as measure_step
 
+    _stage("dn40_hvp")
     dn = measure(batch=BATCH, dtype=jnp.bfloat16, remat=True)
     # end-to-end regularized training: full train_step (power iter +
     # vGHv + SGD) with the defer_metrics epoch protocol
+    _stage("dn40_sstep")
     sstep = measure_step("dn40", batch=BATCH, remat=True, defer=True)
     # reference-scale heavy workload: DenseNet121 at the CXR pipeline's
     # 224px (dcnn.py:86-89), end-to-end spectral step at the swept
     # sweet spot (RESULTS.md round-3 224px table)
-    s224 = measure_step("dn121", batch=64, remat=True, defer=True,
-                        px=224)
     # north-star: one COMPLETE CIFAR-10-scale epoch (50k images, 391
     # spectral steps + epoch-end full-train-set eval + random-batch
     # rho) with the device-resident dataset (DeviceArrayLoader: pixels
@@ -114,15 +175,20 @@ def main() -> None:
     # vector — the tunneled-TPU epoch is transfer-bound otherwise)
     from benchmarks.bench_epoch_wallclock import main as measure_epoch
 
-    # scan_steps=8: chunks of 8 steps fused into one lax.scan program —
-    # pays only once data is device-resident (with a host loader the
-    # stacked uploads serialize and scan LOSES; RESULTS.md epoch table)
-    epoch = measure_epoch(device_data=True, scan_steps=8, verbose=False)
+    # per-step config: scan_steps=8 is ~17% faster still (17.7 s,
+    # RESULTS.md epoch table) but its two chunk-length scan programs
+    # are multi-minute compiles on a cold XLA cache — too heavy for the
+    # driver's bench budget; the per-step path reuses the programs the
+    # measures above already compiled
+    _stage("epoch_wallclock")
+    epoch = measure_epoch(device_data=True, verbose=False)
     examples_per_sec = dn["hvps_per_sec"] * BATCH
     baseline_examples = (
         TORCH_CPU_DENSENET40_HVPS_PER_SEC * TORCH_CPU_DENSENET40_BATCH
     )
+    _stage("usps_hvp")
     usps = usps_hvps_per_sec()
+    _stage("done")
 
     print(
         json.dumps(
@@ -137,9 +203,13 @@ def main() -> None:
                 "spectral_steps_per_sec_dn40_defer": sstep["steps_per_sec"],
                 "epoch_wallclock_s_cifar50k": epoch["epoch_wallclock_s"],
                 "epoch_speedup_vs_torch_cpu": epoch["speedup_vs_torch_cpu"],
-                "spectral_steps_per_sec_dn121_224": s224["steps_per_sec"],
-                "examples_per_sec_dn121_224": s224["examples_per_sec"],
-                "mfu_pct_dn121_224": s224["mfu_pct_bf16_peak"],
+                "spectral_steps_per_sec_dn121_224":
+                    s224["steps_per_sec"] if s224 else None,
+                "examples_per_sec_dn121_224":
+                    s224["examples_per_sec"] if s224 else None,
+                "mfu_pct_dn121_224":
+                    s224["mfu_pct_bf16_peak"] if s224 else None,
+                "s224_source": s224["s224_source"] if s224 else None,
                 "usps_hvps_per_sec": round(usps, 1),
                 "usps_vs_torch_cpu": round(
                     usps / TORCH_CPU_USPS_BASELINE_HVPS_PER_SEC, 1

@@ -103,7 +103,11 @@ def run(options: Dict[str, Any]) -> SpectralTrainer:
     trainer = build_trainer(options)
     batch_size = options.get("batch_size", 128)
     train_loader, valid_loader, test_loaders = _loaders(options, batch_size)
-    if options.get("device_data") and isinstance(train_loader, ArrayLoader):
+    if options.get("device_data") and isinstance(
+            getattr(train_loader, "loader", train_loader), ArrayLoader):
+        # a PrefetchLoader wrapper is dropped: prefetch threads exist to
+        # hide host batch assembly, which device residency eliminates
+        train_loader = getattr(train_loader, "loader", train_loader)
         # device-resident training data (HBM dataset + on-device
         # gather): removes the per-batch host->device pixel transfers —
         # the dominant epoch cost on a tunneled chip (RESULTS.md epoch

@@ -292,3 +292,26 @@ def test_as_device_loader_rejects_host_augment():
     ld = ArrayLoader(x, y, 4, augment=lambda xb, rng: xb)
     with _pytest.raises(ValueError):
         as_device_loader(ld)
+
+
+def test_driver_device_data_unwraps_prefetch(tmp_path, monkeypatch):
+    """device_data=1 over a PrefetchLoader-wrapped ArrayLoader drops the
+    (now pointless) prefetch thread and converts the inner loader."""
+    monkeypatch.chdir(tmp_path)
+    from optwboundeigenval_tpu.data.loaders import PrefetchLoader
+
+    x, y = make_classification(96, 10, 4, seed=0)
+    opt = {
+        "model": ForestNet(hidden=10, num_classes=4),
+        "optimizer": sgd(0.1),
+        "loss": "cross_entropy",
+        "mu": 0.01, "K": 1.0, "batch_size": 32,
+        "max_iter": 1, "min_iter": 1, "max_pow_iter": 10,
+        "pow_iter_eps": 1e-1,
+        "header": "DRVPF",
+        "train_loader": PrefetchLoader(ArrayLoader(x, y, 32)),
+        "train": True, "test": False,
+    }
+    opt["device_data"] = True
+    tr = run(opt)
+    assert tr.f == tr.f  # trained without error (finite check in train)
