@@ -76,9 +76,17 @@ def main(workdir, platform="cpu"):
     from optwboundeigenval_tpu.train.task import cross_entropy_double_softmax
 
     cfg = json.load(open(os.path.join(workdir, "config.json")))
+    if cfg.get("f64"):
+        # cxr_f64 strict run: float64 end to end (params arrive as f64
+        # from the ref export; x64 makes every traced literal, the
+        # eigensolver state, and the optimizer buffers f64 too)
+        jax.config.update("jax_enable_x64", True)
     data = np.load(os.path.join(workdir, "data.npz"))
     x, y = data["x_train"], data["y_train"]
     xt, yt = data["x_test"], data["y_test"]
+    if cfg.get("f64"):
+        x, xt = x.astype(np.float64), xt.astype(np.float64)
+        y, yt = y.astype(np.float64), yt.astype(np.float64)
     sd = dict(np.load(os.path.join(workdir, "init_params.npz")))
 
     batch_stats = None
@@ -126,7 +134,10 @@ def main(workdir, platform="cpu"):
         from scripts.convert_torch_weights import convert_dcnn_densenet121
 
         task = Task(
-            model=DenseNet121Sigmoid(class_count=cfg.get("n_classes", 14)),
+            model=DenseNet121Sigmoid(
+                class_count=cfg.get("n_classes", 14),
+                dtype=jnp.float64 if cfg.get("f64") else jnp.float32,
+            ),
             loss=weighted_bce_with_logits,
             has_batch_stats=True,
         )
@@ -137,7 +148,8 @@ def main(workdir, platform="cpu"):
         optimizer = adam(cfg["lr"], weight_decay=cfg["weight_decay"])
         scheduler = ReduceLROnPlateau(cfg["lr"], patience=5)
         x_model = x  # NHWC already
-        y = y.astype(np.float32)
+        if not cfg.get("f64"):
+            y = y.astype(np.float32)
     else:
         task = Task(model=CNNUSPS(), loss=cross_entropy_double_softmax)
         params = convert_usps(sd)
@@ -209,10 +221,22 @@ def main(workdir, platform="cpu"):
         for k in flat:
             assert loaded[k].shape == flat[k].shape, (k, loaded[k].shape,
                                                       flat[k].shape)
-            flat[k] = jnp.asarray(loaded[k], flat[k].dtype)
+            # f64 runs: the flax init is f32 (param_dtype default), so
+            # keep the torch export's float64 instead of the init dtype
+            flat[k] = jnp.asarray(
+                loaded[k],
+                jnp.float64 if cfg.get("f64") else flat[k].dtype,
+            )
         variables = unflatten_dict(flat, sep="/")
         tr.params = variables.pop("params")
         tr.model_state = variables
+        if cfg.get("f64"):
+            # rebuild the param-shaped solver/optimizer state in f64
+            # (init_state derived both from the f32 flax init)
+            from optwboundeigenval_tpu.utils.tree import tree_uniform_like
+
+            tr.opt_state = jax.jit(tr.optimizer.init)(tr.params)
+            tr.v = jax.jit(tree_uniform_like)(tr.params)
     else:
         tr.params = jax.tree.map(
             lambda ref, new: jnp.asarray(new, ref.dtype),

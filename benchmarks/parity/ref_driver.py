@@ -165,6 +165,26 @@ def build(task_name, cfg):
         import dcnn
 
         model = dcnn.DenseNet121(cfg.get("n_classes", 14), isTrained=False)
+        if cfg.get("composed_bn"):
+            # cxr_f64: remove the native-BN vGHv defect from the
+            # counterparty (swap BEFORE the optimizer captures params)
+            _swap_bn(model)
+            assert not any(
+                isinstance(m, nn.BatchNorm2d) for m in model.modules()
+            )
+        if cfg.get("f64"):
+            model = model.double()
+            # The reference CANNOT train a double model as-is: iter()
+            # hard-casts the assembled direction to f32 before
+            # assigning it (`param.grad = p[i:i+n].view(s).float()`,
+            # opt.py:658), and torch rejects an f32 grad on an f64
+            # param.  grad_dtype is torch's sanctioned escape; the
+            # reference's applied direction then still carries ITS OWN
+            # f32 rounding (~6e-8 rel — invisible at the 1e-3
+            # criteria, and not mirrored on the jax side, which keeps
+            # the direction in f64).
+            for p in model.parameters():
+                p.grad_dtype = torch.float32
         opt_ = torch.optim.Adam(
             model.parameters(), lr=cfg["lr"], weight_decay=cfg["weight_decay"]
         )
@@ -220,6 +240,12 @@ def main(workdir):
         x = np.ascontiguousarray(x.transpose(0, 3, 1, 2))
         xt = np.ascontiguousarray(xt.transpose(0, 3, 1, 2))
 
+    if cfg.get("f64"):
+        # float64 end to end: params, data, and every tensor the
+        # reference creates internally (random_v, penalty scalars, ...)
+        torch.set_default_dtype(torch.float64)
+        x, xt = x.astype(np.float64), xt.astype(np.float64)
+
     torch.manual_seed(cfg["seed"])
     np.random.seed(cfg["seed"])
     model, opt_, sched = build(cfg["task"], cfg)
@@ -247,7 +273,9 @@ def main(workdir):
         import dcnn
 
         criterion = dcnn.W_BCEWithLogitsLoss()
-        target = torch.from_numpy(y.astype(np.float32))
+        target = torch.from_numpy(
+            y.astype(np.float64 if cfg.get("f64") else np.float32)
+        )
     else:
         criterion = nn.CrossEntropyLoss()
         target = torch.from_numpy(y.astype(np.int64))

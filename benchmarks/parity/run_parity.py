@@ -142,6 +142,36 @@ CONFIGS = {
         # (mean over 14 classes); ±2pp is still sub-SE
         acc_bound_pp=2.0,
     ),
+    # cxr under STRICT conditions: the same flagship recipe with the
+    # two non-algorithmic noise sources removed — (i) rand_init=False,
+    # so the eigensolver warm-starts from the shared deterministic
+    # uniform v (the recipe's rand_init draws a fresh RANDOM v0 from
+    # each framework's own RNG every comp_rho, opt.py:432 — an
+    # unmatchable input); (ii) float64 end to end on BOTH sides, so
+    # f32 rounding chaos (each framework deviates up to 22% from its
+    # own f64 oracle on this ||H||~100 operator) is gone.  The
+    # counterparty uses the composed-BN swap (as in cifar_cbn): torch's
+    # native BatchNorm vGHv defect is ALGORITHMIC and would survive
+    # f64, deterministically steering the penalty gradient — with it
+    # removed, any residual trajectory gap is an implementation
+    # difference.  If and only if the two frameworks compute the same
+    # thing, this run must meet the standard ≤1e-3 criteria directly —
+    # no chaos envelope, no f64-floor escape hatch.
+    # px stays at the recipe's 64 even though float64 XLA-CPU
+    # DenseNet121 makes this the cost ceiling of the parity suite: the
+    # 32px synthetic operator is pathological (rho ~5e6 at init, so the
+    # truncated eigensolve is hyper-chaotic and trajectories split by
+    # 2e-4 within two steps from the reference's OWN f32 gradient
+    # round, opt.py:658) while at 64px the operator is the flagship
+    # regime (rho ~1e2) where the strict criteria are meaningful.
+    "cxr_f64": dict(
+        task="cxr", header="PARITY_CX64", seed=1226, epochs=2,
+        n_train=32, n_test=64, n_classes=14, px=64, lr=1e-5,
+        weight_decay=1e-5, mu=0.01, K=0.0, batch_size=4,
+        pow_iter_eps=0.1, max_pow_iter=100, ignore_bad_vals=False,
+        rand_init=False, gradg_clip=100.0, nan_frac=0.1,
+        composed_bn=True, f64=True,
+    ),
 }
 
 
@@ -619,6 +649,17 @@ Interpretation notes:
   power iterates deviate up to 22% from their own f64 oracle on this
   operator (||H||~100, uniform v0 nearly orthogonal to the dominant
   eigenvector: intrinsic rounding chaos, not divergence).
+- cxr_f64 is the STRICT closure of the cxr verdict: the same flagship
+  recipe with the three non-algorithmic noise sources removed —
+  rand_init=False (the recipe draws a fresh random v0 from each
+  framework's own RNG every comp_rho, an unmatchable input),
+  float64 end to end on both sides (kills the f32 rounding chaos; the
+  eigensolver's stop scalars follow the operand dtype), and the
+  composed-BN counterparty (torch's native-BN vGHv defect is
+  algorithmic and survives f64).  Under those conditions the run must
+  meet the standard ≤1e-3 criteria directly — no chaos envelope, no
+  f64-floor escape hatch — which is the statement that the two
+  implementations compute the same thing.
 """
 
 

@@ -106,28 +106,36 @@ def power_iteration(
     """
     n_iters = int(min(tree_size(v0), max_iter)) if cap_by_dim else int(max_iter)
     alpha_fn = _as_alpha_fn(alpha)
-    one = jnp.asarray(1.0, jnp.float32)
-    inf = jnp.asarray(jnp.inf, jnp.float32)
+    # Solver-scalar dtype (lam, residual norms, stop tests): follows the
+    # operand precision so f64 runs keep f64 stop decisions (x64 parity
+    # oracles), while bf16 compute still promotes its scalars to f32
+    # (result_type(f32, bf16) = f32 — unchanged behavior for the
+    # production mixed-precision path).
+    sdtype = jnp.result_type(
+        jnp.float32, *(l.dtype for l in jax.tree_util.tree_leaves(v0))
+    )
+    one = jnp.asarray(1.0, sdtype)
+    inf = jnp.asarray(jnp.inf, sdtype)
 
     def cond(s: _State):
         return jnp.logical_and(s.i < n_iters, jnp.logical_not(s.done))
 
     def body(s: _State) -> _State:
         hv = matvec(s.v)
-        lam_raw = tree_vdot(hv, s.v).real.astype(jnp.float32)
+        lam_raw = tree_vdot(hv, s.v).real.astype(sdtype)
         # Sign flip so lam >= 0 tracks |eigenvalue| (opt.py:458-460).
         flip = lam_raw < 0
         lam = jnp.abs(lam_raw)
         hv = tree_where(flip, tree_scale(-1.0, hv), hv)
 
         r = jax.tree.map(lambda h, vv: h - lam * vv, hv, s.v)
-        n = jnp.sqrt(tree_vdot(r, r)).astype(jnp.float32)
+        n = jnp.sqrt(tree_vdot(r, r)).astype(sdtype)
         rn = jnp.minimum(
             jnp.sqrt(tree_vdot(tree_sub(r, s.r_old), tree_sub(r, s.r_old))),
             jnp.sqrt(
                 tree_vdot(tree_axpy(one, r, s.r_old), tree_axpy(one, r, s.r_old))
             ),
-        ).astype(jnp.float32)
+        ).astype(sdtype)
 
         stop1 = n
         stop2 = jnp.where(s.n_old != 0, rn / s.n_old, inf)
@@ -161,7 +169,7 @@ def power_iteration(
             done=done,
         )
 
-    zero = jnp.asarray(0.0, jnp.float32)
+    zero = jnp.asarray(0.0, sdtype)
     init = _State(
         i=jnp.asarray(0, jnp.int32),
         v=v0,

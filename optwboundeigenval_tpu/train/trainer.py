@@ -280,6 +280,13 @@ class SpectralTrainer:
 
         return tree_size(self.params)
 
+    def _scalar_dtype(self):
+        """Step-scalar dtype (mu): follows the param precision so f64
+        parity runs keep exact hyperparameter values (f32 paths are
+        unchanged — result_type(f32, f32) = f32)."""
+        leaves = jax.tree_util.tree_leaves(self.params)
+        return jnp.result_type(jnp.float32, *(l.dtype for l in leaves[:1]))
+
     def _put_batch(self, batch):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if self.mesh is not None:
@@ -673,7 +680,7 @@ class SpectralTrainer:
             self.opt_state,
             self.v,
             dev_batch,
-            jnp.asarray(mu, jnp.float32),
+            jnp.asarray(mu, self._scalar_dtype()),
             step_rng,
             self._precond_state,
         )
@@ -884,7 +891,7 @@ class SpectralTrainer:
         two programs per loader)."""
         rdata = None
         buf: List[Dict[str, Any]] = []
-        mu_arr = jnp.asarray(mu, jnp.float32)
+        mu_arr = jnp.asarray(mu, self._scalar_dtype())
         for j, data in enumerate(train_loader):
             if j == rbatch:
                 rdata = data
