@@ -117,10 +117,13 @@ def main(steps=391, batch=128, scan_steps=1, device_data=False,
     tr.iter_epoch(loader)
     wall = time.perf_counter() - t0
 
-    # mean power-iteration count for the torch projection: the deferred
-    # metrics don't retain pow_iters, so take it from one fetched step
-    m = tr.train_step(first, fetch=True)
-    pow_iters = float(m["pow_iters"])
+    # mean power-iteration count for the torch projection, from the
+    # epoch's own deferred metrics (a fetched per-step train_step here
+    # would cold-compile the whole per-batch program in scan mode just
+    # to read this number)
+    pow_iters = float(getattr(tr, "mean_pow_iters", 0.0)) or float(
+        tr.train_step(first, fetch=True)["pow_iters"]
+    )
     hvp_equiv_per_step = pow_iters + 3.0
     torch_examples_per_sec = TORCH_CPU_HVPS_PER_SEC * TORCH_CPU_BATCH
     torch_epoch_s = steps * hvp_equiv_per_step * batch / torch_examples_per_sec

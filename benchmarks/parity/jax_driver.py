@@ -216,8 +216,8 @@ def main(workdir, platform="cpu"):
         variables = {"params": tr.params, **tr.model_state}
         flat = flatten_dict(variables, sep="/")
         missing = [k for k in flat if k not in loaded]
-        extra = [k for k in loaded if k not in flat]
-        assert not missing and not extra, (missing[:5], extra[:5])
+        unexpected = [k for k in loaded if k not in flat]
+        assert not missing and not unexpected, (missing[:5], unexpected[:5])
         for k in flat:
             assert loaded[k].shape == flat[k].shape, (k, loaded[k].shape,
                                                       flat[k].shape)

@@ -311,7 +311,7 @@ def vnoise_control(name, workdir, platform):
     batch_rels = [
         relerr(nb[1], cb[1])
         for cb, nb in zip(clean["batch_rows"], noisy["batch_rows"])
-        if cb[1] != 0
+        if cb[1] > 0 and nb[1] > 0  # skip unbound AND rho=-1 discards
     ]
     acc_diff = abs(clean["test_acc"] - noisy["test_acc"]) * 100
     return per_epoch, acc_diff, batch_rels
@@ -360,7 +360,11 @@ def compare(name, cfg, ref, jx, chaos=None, vctl=None):
     )
     import numpy as np
 
-    med_bre = float(np.median(bre))
+    # bre can be EMPTY (every matched batch discarded/unbound on one
+    # side): inf forces an honest FAIL on the magnitude criteria
+    # instead of a ValueError mid-report; discard agreement is still
+    # judged below.
+    med_bre = float(np.median(bre)) if bre else float("inf")
     first_bre = bre[0] if bre else 0.0
     lines.append("")
     lines.append(
@@ -371,10 +375,17 @@ def compare(name, cfg, ref, jx, chaos=None, vctl=None):
         f"- final test acc: ref {ref['test_acc']*100:.2f}% vs tpu-fw "
         f"{jx['test_acc']*100:.2f}% (diff {abs(ref['test_acc']-jx['test_acc'])*100:.3f} pp)"
     )
-    lines.append(
-        f"- matched-batch rho rel-err over {len(bre)} batches: "
-        f"median {np.median(bre):.2e}, p90 {np.percentile(bre, 90):.2e}, max {max(bre):.2e}"
-    )
+    if bre:
+        lines.append(
+            f"- matched-batch rho rel-err over {len(bre)} batches: "
+            f"median {np.median(bre):.2e}, p90 {np.percentile(bre, 90):.2e}, "
+            f"max {max(bre):.2e}"
+        )
+    else:
+        lines.append(
+            "- matched-batch rho rel-err: NO comparable batches (every "
+            "matched batch discarded or unbound on at least one side)"
+        )
     if n_disc_ref or n_disc_jx:
         lines.append(
             f"- discard protocol (rho=-1, opt.py:513-520): ref fired on "
@@ -451,7 +462,11 @@ def compare(name, cfg, ref, jx, chaos=None, vctl=None):
             f"median {vmed:.1e}, max {vworst:.1e}; test-acc diff "
             f"{vc_acc:.3f} pp"
         )
-    if not ok_rho and vctl is not None:
+    if not ok_rho and vctl is not None and not any_disc:
+        # (guarded on any_disc: a failed DISCARD-protocol verdict must
+        # not be overridden by the v-noise fallback, which has no
+        # discard-agreement criterion — disagreeing on which solves to
+        # throw away is a behavioral divergence, not solver noise)
         # Truncated damped-solver tasks (alpha(k)=exp(-4k-2) freezes v
         # after ~2 effective iterations): per-batch rho is a function of
         # the carried v-recursion, which amplifies per-step kernel noise
@@ -560,7 +575,7 @@ def main():
                     abs(jx["test_acc"] - noisy["test_acc"]) * 100,
                     [relerr(nb[1], cb[1])
                      for cb, nb in zip(jx["batch_rows"], noisy["batch_rows"])
-                     if cb[1] != 0],
+                     if cb[1] > 0 and nb[1] > 0],
                 )
         else:
             cfg, ref, jx = run_one(name, wd, args.platform)

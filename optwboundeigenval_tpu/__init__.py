@@ -43,7 +43,8 @@ import jax as _jax
 
 def _default_cache_dir() -> str:
     pkg_parent = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    if _os.path.isdir(_os.path.join(pkg_parent, ".git")):
+    # .git is a FILE in git worktrees — exists(), not isdir()
+    if _os.path.exists(_os.path.join(pkg_parent, ".git")):
         return _os.path.join(pkg_parent, ".xla_cache")
     return _os.path.expanduser("~/.cache/optwboundeigenval_tpu/xla")
 

@@ -48,6 +48,10 @@ class ArrayLoader:
             i, n = host_shard
             self.x = self.x[i::n]
             self.y = self.y[i::n]
+        # kept so consumers can tell a host-sharded loader (per-process
+        # DIFFERENT local data) from a replicated one — eval must
+        # allgather shards before computing global metrics
+        self.host_shard = host_shard
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.pad = pad

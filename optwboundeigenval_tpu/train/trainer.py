@@ -330,6 +330,38 @@ class SpectralTrainer:
             return meshlib.replicate(batch, self.mesh)
         return self._put_batch(batch)
 
+    def _globalize_host_shards(self, loader):
+        """Eval adapter for host-sharded loaders under multi-process.
+
+        ``_put_eval_batch`` replicates each process's batch, which is
+        only correct when every process holds IDENTICAL data; a loader
+        built with ``host_shard`` feeds each process a different local
+        shard (e.g. ``train()``'s final train-set eval on the training
+        loader).  This generator allgathers each local batch to every
+        host and concatenates the shards, so all processes evaluate the
+        same GLOBAL batch and log the same global metrics.  Exact:
+        weighted means and AUC are order-invariant and padded rows
+        carry ``w = 0``."""
+        from jax.experimental import multihost_utils
+
+        counts = np.asarray(
+            multihost_utils.process_allgather(np.asarray(len(loader)))
+        )
+        if int(counts.min()) != int(counts.max()):
+            raise ValueError(
+                f"host shards have unequal batch counts {counts.tolist()}; "
+                "pad the dataset so every process yields the same number "
+                "of (padded) batches"
+            )
+        for data in loader:
+            g = multihost_utils.process_allgather(
+                {k: np.asarray(v) for k, v in data.items()}
+            )
+            yield {
+                k: np.asarray(v).reshape((-1,) + np.asarray(v).shape[2:])
+                for k, v in g.items()
+            }
+
     # ------------------------------------------------------------------
     # jitted step builders
     # ------------------------------------------------------------------
@@ -780,7 +812,8 @@ class SpectralTrainer:
             if defer:
                 deferred.append(
                     {"gradf_norm": metrics["gradf_norm"],
-                     "gradg_norm": metrics["gradg_norm"]}
+                     "gradg_norm": metrics["gradg_norm"],
+                     "pow_iters": metrics["pow_iters"]}
                 )
                 self.mem_check()
                 continue
@@ -807,6 +840,13 @@ class SpectralTrainer:
             # the epoch-start snapshot (params AND optimizer buffers —
             # the unconditional commits may have poisoned both)
             norms = jax.device_get(deferred)
+            # per-epoch power-iteration count (the reference logs
+            # per-batch iters in verbose mode, opt.py:439-443); kept on
+            # the instance so callers (bench_epoch_wallclock) don't need
+            # an extra fetched step just to read it
+            self.mean_pow_iters = float(
+                np.mean([np.mean(np.asarray(m["pow_iters"])) for m in norms])
+            )
             # entries are scalars (per-step path) or (k,) arrays (scan
             # chunks) — np.all handles both
             if not all(
@@ -918,7 +958,8 @@ class SpectralTrainer:
             )
         deferred.append(
             {"gradf_norm": metrics["gradf_norm"],
-             "gradg_norm": metrics["gradg_norm"]}
+             "gradg_norm": metrics["gradg_norm"],
+             "pow_iters": metrics["pow_iters"]}
         )
         self.mem_check()
 
@@ -989,7 +1030,12 @@ class SpectralTrainer:
                 else:
                     fh.write("epoch\t f\t rho\t h\t norm\n")
 
-        h_hist: List[float] = []
+        # instance-held so save_full/resume preserves the CoV window —
+        # a resumed run must stop at the same epoch a straight-through
+        # run would (fresh list when starting from epoch 0)
+        if start_epoch == 0 or not hasattr(self, "_h_hist"):
+            self._h_hist = []
+        h_hist = self._h_hist
         for self.i in range(start_epoch, self.max_iter):
             self.iter_epoch(train_loader)
             self.save()
@@ -1078,6 +1124,16 @@ class SpectralTrainer:
 
         if other_classes is not None and isinstance(other_classes, int):
             other_classes = [other_classes]
+
+        if (
+            self.mesh is not None
+            and jax.process_count() > 1
+            and getattr(loader, "host_shard", None) is not None
+        ):
+            # host-sharded loader: every process holds different local
+            # data — allgather to the global batch before the
+            # replicate-based eval placement (identical-data contract)
+            loader = self._globalize_host_shards(loader)
 
         f_list, acc_list, f1_list, sizes = [], [], [], []
         outputs_all, labels_all, oc = [], [], []
@@ -1408,6 +1464,10 @@ class SpectralTrainer:
                 [self.best_val_acc, self.best_h, self.best_rho,
                  float(self.best_iter)]
             ),
+            # CoV early-stop window (opt.py:841-845): without it a
+            # resumed run evaluates a truncated window and can stop at
+            # a different epoch than the straight-through run
+            "h_hist": np.asarray(getattr(self, "_h_hist", []), np.float64),
         }
         checkpoints.save_checkpoint(
             os.path.join(self.model_dir, self.header2 + tail), payload
@@ -1433,6 +1493,8 @@ class SpectralTrainer:
             b = np.asarray(payload["best"])
             self.best_val_acc, self.best_h = float(b[0]), float(b[1])
             self.best_rho, self.best_iter = float(b[2]), int(b[3])
+        if "h_hist" in payload:
+            self._h_hist = [float(h) for h in np.asarray(payload["h_hist"])]
         # a subsequent train() continues from the epoch AFTER the
         # checkpointed one instead of restarting at 0
         self._resume_epoch = self.i + 1

@@ -124,6 +124,12 @@ with open(tr2.log_file) as fh:
         if parts and parts[0].isdigit():
             rows.append([float(p) for p in parts])
 
+# global train-set eval THROUGH the host-sharded loader: exercises the
+# allgather eval adapter (trainer._globalize_host_shards) — each host
+# holds a DIFFERENT local shard, so without the adapter each host would
+# silently report its own shard's metrics as the global ones
+trf, tracc, trf1 = tr2.test_model(loader=train_loader)
+
 with open(outfile, "w") as fh:
     json.dump(
         {
@@ -131,6 +137,7 @@ with open(outfile, "w") as fh:
             "rows": rows,
             "best_iter": tr2.best_iter,
             "best_val_acc": tr2.best_val_acc,
+            "train_eval": [float(trf), float(tracc), float(trf1)],
         },
         fh,
     )

@@ -282,3 +282,45 @@ def test_git_helpers(tmp_path):
         capture_output=True, text=True, check=True,
     ).stdout
     assert "from b" in log
+
+
+class _PinnedEpochRng:
+    """Epoch-end random-batch draw pinned to a call counter so a
+    resumed trainer continues the straight-through draw sequence."""
+
+    def __init__(self, start=0):
+        self.i = start
+
+    def integers(self, low, high):
+        v = low + self.i % max(high - low, 1)
+        self.i += 1
+        return v
+
+
+def test_resume_preserves_cov_stop_window(tmp_path):
+    """The CoV early stop (opt.py:841-845) evaluates the last-10 h
+    values; save_full/resume checkpoints that window, so a mid-run
+    resume stops at the SAME epoch a straight-through run does.
+    Without the checkpointed window the resumed run restarts h_hist
+    empty: at min_iter-1 it has <2 entries, the stop check is skipped,
+    and the run trains past the straight-through stop epoch."""
+    kw = dict(min_iter=4, max_iter=10, eps=0.5)
+    trA, loaderA = _trainer(tmp_path, header="COVA", **kw)
+    trA._np_rng = _PinnedEpochRng()
+    trA.train(train_loader=loaderA)
+    stop_epoch = trA.i
+    assert stop_epoch < 9, "CoV stop never fired; eps too tight for test"
+
+    # interrupted run: 2 epochs, checkpoint, then a FRESH trainer resumes
+    trB, loaderB = _trainer(tmp_path, header="COVB",
+                            min_iter=4, max_iter=2, eps=0.5)
+    trB._np_rng = _PinnedEpochRng()
+    trB.train(train_loader=loaderB)
+    trB.save_full()
+
+    trC, _ = _trainer(tmp_path, header="COVB", **kw)
+    trC.init_state(next(iter(loaderB)))
+    trC.resume()
+    trC._np_rng = _PinnedEpochRng(start=2)
+    trC.train(train_loader=loaderB)
+    assert trC.i == stop_epoch

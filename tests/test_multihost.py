@@ -225,3 +225,17 @@ def test_two_process_full_train_loop(tmp_path):
     np.testing.assert_allclose(
         results[0]["best_val_acc"], ref_tr.best_val_acc, rtol=1e-6
     )
+
+    # (c) the train-set eval through the HOST-SHARDED loader is a
+    # GLOBAL metric: both hosts report the same value, and it matches
+    # the single-process eval over the full dataset (each host alone
+    # holds only half the examples — the allgather eval adapter
+    # restores the identical-data replicate contract)
+    np.testing.assert_allclose(
+        results[0]["train_eval"], results[1]["train_eval"], rtol=1e-6
+    )
+    x, y = make_classification(128, 10, 4, seed=7)
+    rf, racc, rf1 = ref_tr.test_model(loader=ArrayLoader(x, y, batch_size=32))
+    np.testing.assert_allclose(
+        results[0]["train_eval"], [rf, racc, rf1], rtol=2e-3, atol=1e-6
+    )
