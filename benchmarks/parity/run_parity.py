@@ -171,6 +171,13 @@ CONFIGS = {
         pow_iter_eps=0.1, max_pow_iter=100, ignore_bad_vals=False,
         rand_init=False, gradg_clip=100.0, nan_frac=0.1,
         composed_bn=True, f64=True,
+        # same AUC-discreteness bound as cxr (identical n_test=64
+        # protocol, Hanley-McNeil SE ~2.4pp): the strictness claim of
+        # this task is the rho trajectory (measured median 1e-8), not
+        # the sampling noise of a 64-image AUC — the reference's OWN
+        # f32 gradient round (opt.py:658, kept AS-IS on its side)
+        # injects enough drift to swap near-tied score orderings
+        acc_bound_pp=2.0,
     ),
 }
 

@@ -15,6 +15,8 @@ from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 
+from optwboundeigenval_tpu.models.norm import BatchNorm
+
 from optwboundeigenval_tpu.models.activations import relu
 import jax.numpy as jnp
 
@@ -58,7 +60,7 @@ class VGG16BNFeatures(nn.Module):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
                 x = nn.Conv(v, (3, 3), padding="SAME", dtype=self.dtype)(x)
-                x = nn.BatchNorm(momentum=0.9, use_running_average=not train,
+                x = BatchNorm(momentum=0.9, use_running_average=not train,
                                  dtype=self.dtype)(x)
                 x = relu(x)
         return x
@@ -74,22 +76,22 @@ class _Bottleneck(nn.Module):
         needs_proj = x.shape[-1] != self.filters * 4 or self.strides != (1, 1)
         residual = x
         y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        y = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(y)
+        y = BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(y)
         y = relu(y)
         # explicit symmetric padding: torch's pad=1 — for the stride-2
         # blocks "SAME" would pad (0,1) on even inputs, a one-pixel
         # sampling shift vs torchvision
         y = nn.Conv(self.filters, (3, 3), strides=self.strides,
                     padding=(1, 1), use_bias=False, dtype=self.dtype)(y)
-        y = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(y)
+        y = BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(y)
         y = relu(y)
         y = nn.Conv(self.filters * 4, (1, 1), use_bias=False, dtype=self.dtype)(y)
-        y = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype,
+        y = BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype,
                          scale_init=nn.initializers.zeros)(y)
         if needs_proj:
             residual = nn.Conv(self.filters * 4, (1, 1), strides=self.strides,
                                use_bias=False, dtype=self.dtype)(x)
-            residual = nn.BatchNorm(momentum=0.9, use_running_average=not train,
+            residual = BatchNorm(momentum=0.9, use_running_average=not train,
                                     dtype=self.dtype)(residual)
         return relu(residual + y)
 
@@ -104,7 +106,7 @@ class ResNet50Features(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=(3, 3), use_bias=False,
                     dtype=self.dtype)(x)
-        x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
+        x = BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
         x = relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for i, n_blocks in enumerate(self.stage_sizes):
@@ -130,18 +132,18 @@ class DenseNetFeatures(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.num_init_features, (7, 7), strides=(2, 2),
                     padding=(3, 3), use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
+        x = BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
         x = relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         features = self.num_init_features
         for i, n_layers in enumerate(self.block_config):
             for _ in range(n_layers):
-                y = nn.BatchNorm(momentum=0.9, use_running_average=not train,
+                y = BatchNorm(momentum=0.9, use_running_average=not train,
                                  dtype=self.dtype)(x)
                 y = relu(y)
                 y = nn.Conv(self.bn_size * self.growth_rate, (1, 1),
                             use_bias=False, dtype=self.dtype)(y)
-                y = nn.BatchNorm(momentum=0.9, use_running_average=not train,
+                y = BatchNorm(momentum=0.9, use_running_average=not train,
                                  dtype=self.dtype)(y)
                 y = relu(y)
                 y = nn.Conv(self.growth_rate, (3, 3), padding="SAME",
@@ -149,14 +151,14 @@ class DenseNetFeatures(nn.Module):
                 x = jnp.concatenate([x, y], axis=-1)
             features += n_layers * self.growth_rate
             if i < len(self.block_config) - 1:
-                x = nn.BatchNorm(momentum=0.9, use_running_average=not train,
+                x = BatchNorm(momentum=0.9, use_running_average=not train,
                                  dtype=self.dtype)(x)
                 x = relu(x)
                 x = nn.Conv(features // 2, (1, 1), use_bias=False,
                             dtype=self.dtype)(x)
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
                 features = features // 2
-        x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
+        x = BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
         return relu(x)
 
 

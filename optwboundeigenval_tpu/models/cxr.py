@@ -19,6 +19,8 @@ from typing import Any, Callable
 
 import flax.linen as nn
 
+from optwboundeigenval_tpu.models.norm import BatchNorm
+
 from optwboundeigenval_tpu.models.activations import relu
 import jax.numpy as jnp
 
@@ -36,7 +38,7 @@ class TransitHead(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(1024, (3, 3), padding=(1, 1), dtype=self.dtype,
                     name="transit_conv")(x)
-        x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype,
+        x = BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype,
                          name="transit_bn")(x)
         x = relu(x)
         x = nn.max_pool(x, (2, 2), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -23,6 +23,7 @@ from typing import Any
 import flax.linen as nn
 
 from optwboundeigenval_tpu.models.activations import relu
+from optwboundeigenval_tpu.models.norm import BatchNorm
 import jax.numpy as jnp
 
 
@@ -39,7 +40,7 @@ class BottleneckBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         inter = self.out_planes * 4
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
+        out = BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
         out = relu(out)
         out = nn.Conv(
             inter, (1, 1), use_bias=False, dtype=self.dtype,
@@ -47,7 +48,7 @@ class BottleneckBlock(nn.Module):
         )(out)
         if self.drop_rate > 0:
             out = nn.Dropout(self.drop_rate, deterministic=not train)(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(out)
+        out = BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(out)
         out = relu(out)
         out = nn.Conv(
             self.out_planes, (3, 3), padding="SAME", use_bias=False,
@@ -65,7 +66,7 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
+        out = BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
         out = relu(out)
         out = nn.Conv(
             self.out_planes, (3, 3), padding="SAME", use_bias=False,
@@ -83,7 +84,7 @@ class TransitionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
+        out = BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
         out = relu(out)
         out = nn.Conv(
             self.out_planes, (1, 1), use_bias=False, dtype=self.dtype,
@@ -133,7 +134,7 @@ class DenseNet3(nn.Module):
                     out, train
                 )
                 in_planes = out_planes
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(out)
+        out = BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(out)
         out = relu(out)
         out = nn.avg_pool(out, (8, 8), strides=(8, 8))
         out = out.reshape(out.shape[0], -1)

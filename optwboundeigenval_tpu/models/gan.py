@@ -18,6 +18,8 @@ from __future__ import annotations
 from typing import Any, Tuple
 
 import flax.linen as nn
+
+from optwboundeigenval_tpu.models.norm import BatchNorm
 import jax.numpy as jnp
 
 
@@ -42,7 +44,7 @@ class MLPGenerator(nn.Module):
                 # EPS=0.8 (second positional arg), NOT momentum — the
                 # well-known PyTorch-GAN quirk; running-stat decay
                 # stays at torch's default 0.1 (flax momentum 0.9)
-                x = nn.BatchNorm(
+                x = BatchNorm(
                     use_running_average=not train, momentum=0.9,
                     epsilon=0.8, dtype=self.dtype,
                 )(x)
@@ -95,7 +97,7 @@ class DCGenerator(nn.Module):
                 w, (stride, stride), strides=(stride, stride),
                 dtype=self.dtype,
             )(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
+            x = BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
             x = nn.relu(x)
         x = nn.ConvTranspose(1, (2, 2), strides=(2, 2), dtype=self.dtype)(x)
         return jnp.tanh(x)  # (B, 32, 32, 1)

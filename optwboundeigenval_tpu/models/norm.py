@@ -1,0 +1,132 @@
+"""BatchNorm with torch's exact running-statistics semantics.
+
+flax ``nn.BatchNorm`` accumulates the BIASED batch variance into
+``running_var``; torch's ``_BatchNorm`` stores the UNBIASED one
+(``var * n / (n - 1)``, where ``n`` is the per-feature element count).
+Normalization itself uses the biased variance in train mode on both
+sides, so forwards, gradients, and curvature (HVP / vGHv) are already
+identical — the difference only surfaces through EVAL-mode forwards
+after training steps, where it produces a systematic ~1e-4-scale eval-
+loss drift against the reference (larger for deep layers with small
+spatial dims: at n = 16 the correction is 6.7% of the update).  Found
+by the cxr_f64 head-to-head: parameters matched to 1.85e-10 while the
+epoch eval loss differed by 1.4e-4 — params couldn't explain it, the
+running-var semantics did (PARITY_RUNS.md).
+
+``BatchNorm`` below is flax's own implementation (flax 0.12
+normalization.py) with the one-line unbiased correction, so it is a
+drop-in: same variable names/shapes ("batch_stats" {mean, var}), same
+dtype rules, same API — the torch<->flax converters and every
+checkpoint stay valid.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+from flax.linen import normalization as _fnorm
+
+
+class BatchNorm(nn.BatchNorm):
+    """``nn.BatchNorm`` storing torch's unbiased ``running_var``.
+
+    Reference semantics: torch ``_BatchNorm`` (batchnorm.py) updates
+    ``running_var`` with ``var(input, unbiased=True)``; the reference's
+    models (densenet.py:19-66, dnet.py, dcnn.py) all rely on it through
+    ``nn.BatchNorm2d``.
+    """
+
+    @nn.compact
+    def __call__(self, x, use_running_average=None, *, mask=None):
+        use_running_average = nn.merge_param(
+            "use_running_average",
+            self.use_running_average,
+            use_running_average,
+        )
+        feature_axes = _fnorm._canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(
+            i for i in range(x.ndim) if i not in feature_axes
+        )
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        ra_mean = self.variable(
+            "batch_stats",
+            "mean",
+            lambda s: jnp.zeros(
+                s,
+                jnp.float32
+                if self.force_float32_reductions
+                else self.param_dtype,
+            ),
+            feature_shape,
+        )
+        ra_var = self.variable(
+            "batch_stats",
+            "var",
+            lambda s: jnp.ones(
+                s,
+                jnp.float32
+                if self.force_float32_reductions
+                else self.param_dtype,
+            ),
+            feature_shape,
+        )
+
+        if use_running_average:
+            mean = (
+                ra_mean.value
+                if self.force_float32_reductions
+                else jnp.asarray(ra_mean.value, self.param_dtype)
+            )
+            var = (
+                ra_var.value
+                if self.force_float32_reductions
+                else jnp.asarray(ra_var.value, self.param_dtype)
+            )
+        else:
+            mean, var = _fnorm._compute_stats(
+                x,
+                reduction_axes,
+                dtype=self.dtype,
+                axis_name=self.axis_name
+                if not self.is_initializing()
+                else None,
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance,
+                mask=mask,
+                force_float32_reductions=self.force_float32_reductions,
+            )
+
+            if not self.is_initializing():
+                # per-feature element count; static shapes so a python
+                # float.  torch raises on n == 1 ("Expected more than 1
+                # value per channel") — clamp instead of divide-by-zero
+                n = 1.0
+                for ax in reduction_axes:
+                    n *= x.shape[ax]
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                ra_mean.value = (
+                    self.momentum * ra_mean.value
+                    + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value
+                    + (1 - self.momentum) * unbiased
+                )
+
+        return _fnorm._normalize(
+            self,
+            x,
+            mean,
+            var,
+            reduction_axes,
+            feature_axes,
+            self.dtype,
+            self.param_dtype,
+            self.epsilon,
+            self.use_bias,
+            self.use_scale,
+            self.bias_init,
+            self.scale_init,
+            self.force_float32_reductions,
+        )

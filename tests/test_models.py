@@ -51,3 +51,57 @@ def test_densenet3_output_shape_and_param_count():
     n = sum(p.size for p in jax.tree_util.tree_leaves(variables["params"]))
     # reference DenseNet-40-12-BC has ~0.18M params (densenet.py)
     assert 1.5e5 < n < 3e5
+
+
+def test_batchnorm_running_stats_match_torch():
+    """The custom BatchNorm (models/norm.py) must accumulate torch's
+    UNBIASED running_var (torch batchnorm.py semantics — the reference's
+    nn.BatchNorm2d models depend on it for eval-mode forwards), while
+    flax's stock nn.BatchNorm stores the biased one.  Drive several
+    train-mode updates on random batches and compare running stats
+    against torch.nn.BatchNorm2d exactly."""
+    import torch
+
+    from optwboundeigenval_tpu.models.norm import BatchNorm
+
+    rng = np.random.default_rng(7)
+    c = 5
+    bn_j = BatchNorm(use_running_average=False, momentum=0.9)
+    x0 = jnp.asarray(rng.normal(size=(3, 4, 4, c)).astype(np.float32))
+    variables = bn_j.init(jax.random.PRNGKey(0), x0)
+    bn_t = torch.nn.BatchNorm2d(c, momentum=0.1)  # torch 0.1 == flax 0.9
+    bn_t.train()
+    state = variables["batch_stats"]
+    for _ in range(4):
+        xb = rng.normal(size=(3, 4, 4, c)).astype(np.float32)
+        out_j, mut = bn_j.apply(
+            {"params": variables["params"], "batch_stats": state},
+            jnp.asarray(xb), mutable=["batch_stats"],
+        )
+        state = mut["batch_stats"]
+        out_t = bn_t(torch.from_numpy(xb.transpose(0, 3, 1, 2)))
+        np.testing.assert_allclose(
+            np.asarray(out_j).transpose(0, 3, 1, 2),
+            out_t.detach().numpy(), rtol=2e-5, atol=2e-5,
+        )
+    np.testing.assert_allclose(
+        np.asarray(state["mean"]), bn_t.running_mean.numpy(),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state["var"]), bn_t.running_var.numpy(),
+        rtol=1e-5, atol=1e-7,
+    )
+    # eval-mode forwards then agree through the running stats
+    xe = rng.normal(size=(2, 4, 4, c)).astype(np.float32)
+    bn_j_eval = BatchNorm(use_running_average=True, momentum=0.9)
+    out_j = bn_j_eval.apply(
+        {"params": variables["params"], "batch_stats": state},
+        jnp.asarray(xe),
+    )
+    bn_t.eval()
+    out_t = bn_t(torch.from_numpy(xe.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(out_j).transpose(0, 3, 1, 2), out_t.detach().numpy(),
+        rtol=2e-5, atol=2e-5,
+    )
