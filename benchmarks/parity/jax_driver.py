@@ -105,7 +105,13 @@ def main(workdir, platform="cpu"):
             convert_densenet3_state_dict,
         )
 
-        task = Task(model=DenseNet3(depth=cfg["depth"]), has_batch_stats=True)
+        task = Task(
+            model=DenseNet3(
+                depth=cfg["depth"],
+                dtype=jnp.float64 if cfg.get("f64") else jnp.float32,
+            ),
+            has_batch_stats=True,
+        )
         params, batch_stats = convert_densenet3_state_dict(
             sd, depth=cfg["depth"]
         )
@@ -230,25 +236,32 @@ def main(workdir, platform="cpu"):
         variables = unflatten_dict(flat, sep="/")
         tr.params = variables.pop("params")
         tr.model_state = variables
-        if cfg.get("f64"):
-            # rebuild the param-shaped solver/optimizer state in f64
-            # (init_state derived both from the f32 flax init)
-            from optwboundeigenval_tpu.utils.tree import tree_uniform_like
-
-            tr.opt_state = jax.jit(tr.optimizer.init)(tr.params)
-            tr.v = jax.jit(tree_uniform_like)(tr.params)
     else:
+        # f64 runs: the flax init is f32 (param_dtype default even when
+        # the compute dtype is f64), so keep the torch export's float64
+        # instead of inheriting the init dtype
         tr.params = jax.tree.map(
-            lambda ref, new: jnp.asarray(new, ref.dtype),
+            lambda ref, new: jnp.asarray(
+                new, jnp.float64 if cfg.get("f64") else ref.dtype
+            ),
             tr.params,
             params,
         )
     if batch_stats is not None:
         tr.model_state = jax.tree.map(
-            lambda ref, new: jnp.asarray(new, ref.dtype),
+            lambda ref, new: jnp.asarray(
+                new, jnp.float64 if cfg.get("f64") else ref.dtype
+            ),
             tr.model_state,
             {"batch_stats": batch_stats},
         )
+    if cfg.get("f64"):
+        # rebuild the param-shaped solver/optimizer state in f64
+        # (init_state derived both from the f32 flax init)
+        from optwboundeigenval_tpu.utils.tree import tree_uniform_like
+
+        tr.opt_state = jax.jit(tr.optimizer.init)(tr.params)
+        tr.v = jax.jit(tree_uniform_like)(tr.params)
     tr._np_rng = _PinnedRng()
 
     if cfg.get("v_noise"):

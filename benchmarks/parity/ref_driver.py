@@ -145,6 +145,14 @@ def build(task_name, cfg):
             assert not any(
                 isinstance(m, nn.BatchNorm2d) for m in model.modules()
             )
+        if cfg.get("f64"):
+            # cifar_f64 strict run: same grad_dtype escape as the cxr
+            # branch — the reference hard-casts the assembled direction
+            # to f32 (`param.grad = p[i:i+n].view(s).float()`,
+            # opt.py:658) and torch rejects an f32 grad on an f64 param
+            model = model.double()
+            for p in model.parameters():
+                p.grad_dtype = torch.float32
         opt_ = torch.optim.SGD(
             model.parameters(), lr=cfg["lr"], momentum=0.9, weight_decay=1e-4
         )
