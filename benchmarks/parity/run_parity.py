@@ -187,13 +187,15 @@ CONFIGS = {
         pow_iter_eps=0.1, max_pow_iter=100, ignore_bad_vals=False,
         rand_init=False, gradg_clip=100.0, nan_frac=0.1,
         composed_bn=True, f64=True, strict=True,
-        # same AUC-discreteness bound as cxr (identical n_test=64
-        # protocol, Hanley-McNeil SE ~2.4pp): the strictness claim of
-        # this task is the rho trajectory (measured median 1e-8), not
-        # the sampling noise of a 64-image AUC — the reference's OWN
-        # f32 gradient round (opt.py:658, kept AS-IS on its side)
-        # injects enough drift to swap near-tied score orderings
-        acc_bound_pp=2.0,
+        # the strictness claim of this task is the rho/param
+        # trajectory (measured median 1e-8 / drift 1.85e-10); the
+        # metric is a mean per-class AUC over 64 images whose
+        # barely-trained sigmoid scores are near-tied, so ORDERINGS
+        # flip discretely under any drift (observed 0.314pp at 1.85e-10
+        # param agreement).  Bound = 3x the observed discreteness,
+        # still well under the Hanley-McNeil sampling SE (~2.4pp) —
+        # deliberately tighter than the non-strict cxr task's 2pp
+        acc_bound_pp=1.0,
     ),
 }
 

@@ -23,8 +23,21 @@ checkpoint stay valid.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 from flax import linen as nn
 from flax.linen import normalization as _fnorm
+
+# the subclass below vendors flax 0.12's BatchNorm.__call__ body and
+# calls these private helpers; fail loudly (with guidance) if a flax
+# upgrade moves them rather than silently diverging at apply time
+for _helper in ("_canonicalize_axes", "_compute_stats", "_normalize"):
+    if not hasattr(_fnorm, _helper):  # pragma: no cover - flax upgrade
+        raise ImportError(
+            f"flax.linen.normalization.{_helper} is gone: models/norm.py "
+            "vendors the flax 0.12 BatchNorm internals and must be "
+            "re-synced against this flax version "
+            "(pyproject pins flax>=0.12,<0.13)"
+        )
 
 
 class BatchNorm(nn.BatchNorm):
@@ -98,13 +111,31 @@ class BatchNorm(nn.BatchNorm):
             )
 
             if not self.is_initializing():
-                # per-feature element count; static shapes so a python
-                # float.  torch raises on n == 1 ("Expected more than 1
-                # value per channel") — clamp instead of divide-by-zero
-                n = 1.0
-                for ax in reduction_axes:
-                    n *= x.shape[ax]
-                unbiased = var * (n / max(n - 1.0, 1.0))
+                # per-feature element count behind the Bessel
+                # correction.  Must match the statistics' population:
+                # mask limits it to the unmasked elements (per-feature
+                # counts), axis_name/axis_index_groups sum it across
+                # the syncing devices.  torch raises on n == 1
+                # ("Expected more than 1 value per channel") — clamp
+                # instead of divide-by-zero
+                if mask is None:
+                    n = 1.0
+                    for ax in reduction_axes:
+                        n *= x.shape[ax]
+                    n = jnp.asarray(n, var.dtype)
+                else:
+                    n = jnp.sum(
+                        jnp.broadcast_to(mask, x.shape),
+                        axis=reduction_axes,
+                        dtype=var.dtype,
+                    )
+                if self.axis_name is not None:
+                    n = lax.psum(
+                        n,
+                        axis_name=self.axis_name,
+                        axis_index_groups=self.axis_index_groups,
+                    )
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
                 ra_mean.value = (
                     self.momentum * ra_mean.value
                     + (1 - self.momentum) * mean

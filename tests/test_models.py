@@ -105,3 +105,55 @@ def test_batchnorm_running_stats_match_torch():
         np.asarray(out_j).transpose(0, 3, 1, 2), out_t.detach().numpy(),
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_batchnorm_bessel_count_mask_and_axis_name():
+    """The Bessel correction behind the unbiased running_var must count
+    the SAME population the statistics are computed over: the unmasked
+    elements when ``mask`` is given, and the cross-device total when
+    ``axis_name`` syncs the batch statistics (models/norm.py)."""
+    from optwboundeigenval_tpu.models.norm import BatchNorm
+
+    rng = np.random.default_rng(3)
+    c = 3
+
+    # --- mask: per-feature unmasked counts ---
+    bn = BatchNorm(use_running_average=False, momentum=0.9)
+    x = jnp.asarray(rng.normal(size=(4, 6, c)).astype(np.float32))
+    mask = jnp.asarray(rng.random(size=(4, 6, 1)) > 0.4)
+    variables = bn.init(jax.random.PRNGKey(0), x, mask=mask)
+    _, mut = bn.apply(
+        variables, x, mask=mask, mutable=["batch_stats"]
+    )
+    xm = np.asarray(x)
+    m = np.broadcast_to(np.asarray(mask), xm.shape)
+    expected_var = np.ones(c, np.float32)
+    for ch in range(c):
+        vals = xm[..., ch][m[..., ch]]
+        expected_var[ch] = 0.9 * 1.0 + 0.1 * vals.var(ddof=1)
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["var"]), expected_var,
+        rtol=1e-5, atol=1e-6,
+    )
+
+    # --- axis_name: count sums over the syncing devices ---
+    n_dev, b = 4, 2
+    bn_sync = BatchNorm(
+        use_running_average=False, momentum=0.9, axis_name="dp"
+    )
+    xs = jnp.asarray(rng.normal(size=(n_dev, b, 5, c)).astype(np.float32))
+    variables = bn_sync.init(jax.random.PRNGKey(0), xs[0])
+
+    def step(xd):
+        _, mut = bn_sync.apply(variables, xd, mutable=["batch_stats"])
+        return mut["batch_stats"]["var"]
+
+    var_sync = jax.vmap(step, axis_name="dp")(xs)
+    # every device stores the same global running_var, with Bessel's
+    # n = n_dev * b * 5 (NOT the local b * 5)
+    flat = np.asarray(xs).reshape(-1, c)
+    expected = 0.9 * 1.0 + 0.1 * flat.var(axis=0, ddof=1)
+    for d in range(n_dev):
+        np.testing.assert_allclose(
+            np.asarray(var_sync[d]), expected, rtol=1e-5, atol=1e-6,
+        )
