@@ -181,13 +181,14 @@ def main() -> None:
     # vector — the tunneled-TPU epoch is transfer-bound otherwise)
     from benchmarks.bench_epoch_wallclock import main as measure_epoch
 
-    # scan_steps=8 is the fastest full-epoch config (18.05 s measured,
-    # RESULTS.md epoch table); its chunk-length scan programs are
+    # scan_steps=32 is the fastest full-epoch config (16.66 s measured
+    # vs 17.58 s at scan8, RESULTS.md epoch table — 12 full chunks + a
+    # 7-step remainder program); its chunk-length scan programs are
     # multi-minute compiles the FIRST time ever, but the repo-local
     # persistent cache (.xla_cache/) holds them afterwards, so this
     # stage loads in seconds on the machine the driver benches on
     _stage("epoch_wallclock")
-    epoch = measure_epoch(device_data=True, scan_steps=8, verbose=False)
+    epoch = measure_epoch(device_data=True, scan_steps=32, verbose=False)
     examples_per_sec = dn["hvps_per_sec"] * BATCH
     baseline_examples = (
         TORCH_CPU_DENSENET40_HVPS_PER_SEC * TORCH_CPU_DENSENET40_BATCH
