@@ -122,6 +122,29 @@ def measure_s224_bounded(budget_s: int = 900):
         "--model", "dn121", "--px", "224", "--batch", "64",
         "--remat", "--defer",
     ]
+    # best-ever live measurement on this chip: the tunneled VM's load
+    # varies run to run (measured 5.6-10.9% MFU for identical code/
+    # config), so alongside today's live number the sidecar carries the
+    # best previously completed one — monotone, never synthetic
+    prev_best = {}
+    if os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            prev = json.load(fh)
+        prev_best = {
+            k: prev[k]
+            for k in ("best_steps_per_sec", "best_examples_per_sec",
+                      "best_mfu_pct")
+            if k in prev
+        }
+        if prev.get("s224_source") == "live" and (
+            prev.get("steps_per_sec", 0.0)
+            > prev_best.get("best_steps_per_sec", 0.0)
+        ):
+            prev_best = {
+                "best_steps_per_sec": prev["steps_per_sec"],
+                "best_examples_per_sec": prev["examples_per_sec"],
+                "best_mfu_pct": prev["mfu_pct_bf16_peak"],
+            }
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=budget_s)
@@ -129,6 +152,11 @@ def measure_s224_bounded(budget_s: int = 900):
             if line.startswith("{"):
                 res = json.loads(line)
                 res["s224_source"] = "live"
+                res.update(prev_best)
+                if res["steps_per_sec"] > res.get("best_steps_per_sec", 0.0):
+                    res["best_steps_per_sec"] = res["steps_per_sec"]
+                    res["best_examples_per_sec"] = res["examples_per_sec"]
+                    res["best_mfu_pct"] = res["mfu_pct_bf16_peak"]
                 with open(sidecar, "w") as fh:
                     json.dump(res, fh)
                 return res
@@ -217,6 +245,12 @@ def main() -> None:
                 "mfu_pct_dn121_224":
                     s224["mfu_pct_bf16_peak"] if s224 else None,
                 "s224_source": s224["s224_source"] if s224 else None,
+                # best completed live measurement on this chip (the
+                # shared VM's load varies 2x run-to-run; see sidecar)
+                "examples_per_sec_dn121_224_best":
+                    s224.get("best_examples_per_sec") if s224 else None,
+                "mfu_pct_dn121_224_best":
+                    s224.get("best_mfu_pct") if s224 else None,
                 "usps_hvps_per_sec": round(usps, 1),
                 "usps_vs_torch_cpu": round(
                     usps / TORCH_CPU_USPS_BASELINE_HVPS_PER_SEC, 1
