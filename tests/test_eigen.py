@@ -229,3 +229,55 @@ def test_jittable_whole_solve():
 
     res = solve(A, tree_uniform_like({"x": jnp.zeros(16)}))
     np.testing.assert_allclose(float(res.rho), 3.0, rtol=1e-3)
+
+
+def test_randomized_oracle_sweep():
+    """Seeded randomized hardening sweep: dominant-eigenvalue estimates
+    must match numpy's dense eigendecomposition across operator shapes
+    the handcrafted cases don't cover — varying size, spectral-gap
+    ratio, sign and scale of the dominant eigenvalue, and indefinite
+    spectra (curvature operators are indefinite early in training)."""
+    rng = np.random.default_rng(1226)
+    cases = []
+    for size in (8, 24, 64):
+        for gap in (0.2, 0.6, 0.85):
+            for sign in (1.0, -1.0):
+                for scale in (1e-2, 1.0, 1e3):
+                    cases.append((size, gap, sign, scale))
+    for i, (size, gap, sign, scale) in enumerate(cases):
+        Q, _ = np.linalg.qr(rng.normal(size=(size, size)))
+        # indefinite bulk in [-gap, gap] * dominant, dominant separated
+        bulk = rng.uniform(-gap, gap, size=size - 1)
+        eigs = np.concatenate([[sign], bulk]) * scale
+        A = jnp.asarray(Q @ np.diag(eigs) @ Q.T, jnp.float64)
+        v0 = tree_uniform_like({"x": jnp.zeros(size, jnp.float64)})
+        res = eigen.estimate_dominant_eig(
+            matvec_from_matrix(A), v0, eps=1e-7, max_iter=5000,
+            cap_by_dim=False,
+        )
+        expected = np.abs(np.linalg.eigvalsh(np.asarray(A))).max()
+        assert bool(res.converged), (size, gap, sign, scale)
+        np.testing.assert_allclose(
+            float(res.rho), expected, rtol=1e-4,
+            err_msg=f"case {i}: size={size} gap={gap} "
+                    f"sign={sign} scale={scale}",
+        )
+
+
+def test_randomized_subspace_topk_oracle():
+    """subspace_iteration's top-k Ritz values match numpy's k largest
+    |eigenvalues| on random symmetric operators with clustered tails."""
+    rng = np.random.default_rng(7)
+    for size, k in ((16, 2), (40, 4), (64, 3)):
+        Q, _ = np.linalg.qr(rng.normal(size=(size, size)))
+        top = np.linspace(3.0, 2.0, k) * np.sign(rng.normal(size=k))
+        tail = rng.uniform(-0.8, 0.8, size=size - k)
+        eigs = np.concatenate([top, tail])
+        A = jnp.asarray(Q @ np.diag(eigs) @ Q.T, jnp.float64)
+        v0 = tree_uniform_like({"x": jnp.zeros(size, jnp.float64)})
+        res = eigen.subspace_iteration(
+            matvec_from_matrix(A), v0, k=k, eps=1e-9, max_iter=3000,
+        )
+        expected = np.sort(np.abs(eigs))[::-1][:k]
+        got = np.sort(np.abs(np.asarray(res.eigenvalues)))[::-1]
+        np.testing.assert_allclose(got, expected, rtol=1e-5)
