@@ -128,23 +128,29 @@ def measure_s224_bounded(budget_s: int = 900):
     # best previously completed one — monotone, never synthetic
     prev_best = {}
     if os.path.exists(sidecar):
-        with open(sidecar) as fh:
-            prev = json.load(fh)
-        prev_best = {
-            k: prev[k]
-            for k in ("best_steps_per_sec", "best_examples_per_sec",
-                      "best_mfu_pct")
-            if k in prev
-        }
-        if prev.get("s224_source") == "live" and (
-            prev.get("steps_per_sec", 0.0)
-            > prev_best.get("best_steps_per_sec", 0.0)
-        ):
+        # a truncated/corrupt sidecar (killed mid-write) must degrade to
+        # "no prior measurement", never crash the bench before the live
+        # run that would rewrite it
+        try:
+            with open(sidecar) as fh:
+                prev = json.load(fh)
             prev_best = {
-                "best_steps_per_sec": prev["steps_per_sec"],
-                "best_examples_per_sec": prev["examples_per_sec"],
-                "best_mfu_pct": prev["mfu_pct_bf16_peak"],
+                k: prev[k]
+                for k in ("best_steps_per_sec", "best_examples_per_sec",
+                          "best_mfu_pct")
+                if k in prev
             }
+            if prev.get("s224_source") == "live" and (
+                prev.get("steps_per_sec", 0.0)
+                > prev_best.get("best_steps_per_sec", 0.0)
+            ):
+                prev_best = {
+                    "best_steps_per_sec": prev["steps_per_sec"],
+                    "best_examples_per_sec": prev.get("examples_per_sec"),
+                    "best_mfu_pct": prev.get("mfu_pct_bf16_peak"),
+                }
+        except (json.JSONDecodeError, OSError, ValueError):
+            prev_best = {}
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=budget_s)
@@ -169,9 +175,15 @@ def measure_s224_bounded(budget_s: int = 900):
     # fall back to the last completed measurement on this same chip,
     # labeled as recorded rather than silently live
     if os.path.exists(sidecar):
-        with open(sidecar) as fh:
-            res = json.load(fh)
+        try:
+            with open(sidecar) as fh:
+                res = json.load(fh)
+        except (json.JSONDecodeError, OSError, ValueError):
+            return None
         res["s224_source"] = "recorded"
+        # pre-best-schema sidecars lack the best_* keys; carry over the
+        # best derived from the sidecar's own live entry above
+        res.update({k: v for k, v in prev_best.items() if k not in res})
         return res
     return None
 

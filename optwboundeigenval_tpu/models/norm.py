@@ -97,20 +97,50 @@ class BatchNorm(nn.BatchNorm):
                 else jnp.asarray(ra_var.value, self.param_dtype)
             )
         else:
-            mean, var = _fnorm._compute_stats(
-                x,
-                reduction_axes,
-                dtype=self.dtype,
-                axis_name=self.axis_name
-                if not self.is_initializing()
-                else None,
-                axis_index_groups=self.axis_index_groups,
-                use_fast_variance=self.use_fast_variance,
-                mask=mask,
-                force_float32_reductions=self.force_float32_reductions,
-            )
-
-            if not self.is_initializing():
+            if mask is not None and self.axis_name is not None and (
+                not self.is_initializing()
+            ):
+                # flax's _compute_stats syncs masked stats with an
+                # UNWEIGHTED lax.pmean of per-device means — not the
+                # pooled statistic when per-device unmasked counts
+                # differ, so no count can make the Bessel correction
+                # consistent with it.  Pool sums/counts across devices
+                # instead (torch SyncBatchNorm semantics): stats AND
+                # count then describe the same population
+                stat_dtype = jnp.result_type(x) if self.dtype is None \
+                    else self.dtype
+                if self.force_float32_reductions:
+                    stat_dtype = jnp.promote_types(stat_dtype, jnp.float32)
+                xs = x.astype(stat_dtype)
+                m = jnp.broadcast_to(jnp.asarray(mask, bool), x.shape)
+                cnt = jnp.sum(m, axis=reduction_axes, dtype=stat_dtype)
+                s1 = jnp.sum(jnp.where(m, xs, 0), axis=reduction_axes)
+                s2 = jnp.sum(jnp.where(m, xs * xs, 0), axis=reduction_axes)
+                cnt, s1, s2 = (
+                    lax.psum(
+                        t,
+                        axis_name=self.axis_name,
+                        axis_index_groups=self.axis_index_groups,
+                    )
+                    for t in (cnt, s1, s2)
+                )
+                n = cnt
+                mean = s1 / jnp.maximum(cnt, 1.0)
+                var = jnp.maximum(0.0, s2 / jnp.maximum(cnt, 1.0)
+                                  - mean * mean)
+            else:
+                mean, var = _fnorm._compute_stats(
+                    x,
+                    reduction_axes,
+                    dtype=self.dtype,
+                    axis_name=self.axis_name
+                    if not self.is_initializing()
+                    else None,
+                    axis_index_groups=self.axis_index_groups,
+                    use_fast_variance=self.use_fast_variance,
+                    mask=mask,
+                    force_float32_reductions=self.force_float32_reductions,
+                )
                 # per-feature element count behind the Bessel
                 # correction.  Must match the statistics' population:
                 # mask limits it to the unmasked elements (per-feature
@@ -129,12 +159,17 @@ class BatchNorm(nn.BatchNorm):
                         axis=reduction_axes,
                         dtype=var.dtype,
                     )
-                if self.axis_name is not None:
+                if self.axis_name is not None and (
+                    not self.is_initializing()
+                ):
                     n = lax.psum(
                         n,
                         axis_name=self.axis_name,
                         axis_index_groups=self.axis_index_groups,
                     )
+
+            if not self.is_initializing():
+                n = jnp.asarray(n, var.dtype)
                 unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
                 ra_mean.value = (
                     self.momentum * ra_mean.value

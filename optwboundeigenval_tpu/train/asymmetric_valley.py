@@ -45,24 +45,45 @@ def bn_update(task, params, model_state, loader, put_batch):
     asymmetric_valley.py:488-523).  No-op for BN-free models."""
     if not task.has_batch_stats or not model_state:
         return model_state
-    momentum = 0.99  # flax BatchNorm default; per-batch stats recovered
     zero_state = jax.tree.map(jnp.zeros_like, model_state)
+    ones_state = jax.tree.map(jnp.ones_like, model_state)
 
     acc = None
     n = 0
 
     @jax.jit
-    def batch_stats_of(params, batch):
+    def probe_momentum(params, batch):
+        # EMA update is new = m*old + (1-m)*stat; from old=0 the write is
+        # (1-m)*stat, from old=1 it gains +m — so m = new1 - new0 exactly,
+        # per leaf (models in this repo use momentum=0.9, flax's default
+        # is 0.99; probing handles both AND mixed momenta across layers)
+        _, upd0 = task.model.apply(
+            {"params": params, **zero_state}, batch["x"], train=True,
+            mutable=["batch_stats"],
+        )
+        _, upd1 = task.model.apply(
+            {"params": params, **ones_state}, batch["x"], train=True,
+            mutable=["batch_stats"],
+        )
+        return jax.tree.map(lambda u1, u0: u1 - u0, upd1, upd0)
+
+    @jax.jit
+    def batch_stats_of(params, batch, m_tree):
         variables = {"params": params, **zero_state}
         _, updates = task.model.apply(
             variables, batch["x"], train=True, mutable=["batch_stats"]
         )
-        # new = momentum*0 + (1-momentum)*stat  =>  stat = new/(1-momentum)
-        return jax.tree.map(lambda u: u / (1.0 - momentum), updates)
+        # new = m*0 + (1-m)*stat  =>  stat = new/(1-m)
+        return jax.tree.map(
+            lambda u, m: u / jnp.maximum(1.0 - m, 1e-6), updates, m_tree
+        )
 
+    m_tree = None
     for data in loader:
         batch = put_batch(data)
-        stats = batch_stats_of(params, batch)
+        if m_tree is None:
+            m_tree = probe_momentum(params, batch)
+        stats = batch_stats_of(params, batch, m_tree)
         if acc is None:
             acc = stats
         else:

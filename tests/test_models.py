@@ -157,3 +157,103 @@ def test_batchnorm_bessel_count_mask_and_axis_name():
         np.testing.assert_allclose(
             np.asarray(var_sync[d]), expected, rtol=1e-5, atol=1e-6,
         )
+
+
+def test_batchnorm_mask_and_axis_name_pools_unequal_counts():
+    """mask + axis_name COMBINED with unequal per-device unmasked counts:
+    flax's own sync (unweighted pmean of per-device means) is not the
+    pooled statistic there, so models/norm.py pools sums/counts across
+    devices instead (torch SyncBatchNorm semantics) — stats, Bessel
+    count, and train-mode normalization must all describe the one pooled
+    population."""
+    from optwboundeigenval_tpu.models.norm import BatchNorm
+
+    rng = np.random.default_rng(11)
+    n_dev, c = 2, 3
+    bn = BatchNorm(use_running_average=False, momentum=0.9, axis_name="dp")
+    xs = jnp.asarray(rng.normal(size=(n_dev, 4, 5, c)).astype(np.float32))
+    # device 0 keeps most elements, device 1 keeps few: unequal counts
+    masks = jnp.asarray(
+        np.stack([
+            rng.random(size=(4, 5, 1)) > 0.2,
+            rng.random(size=(4, 5, 1)) > 0.7,
+        ])
+    )
+    variables = bn.init(jax.random.PRNGKey(0), xs[0], mask=masks[0])
+
+    def step(xd, md):
+        out, mut = bn.apply(variables, xd, mask=md, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+
+    out, stats = jax.vmap(step, axis_name="dp")(xs, masks)
+
+    xm = np.asarray(xs)
+    mm = np.broadcast_to(np.asarray(masks), xm.shape)
+    for ch in range(c):
+        vals = xm[..., ch][mm[..., ch]]  # pooled across BOTH devices
+        exp_mean = 0.9 * 0.0 + 0.1 * vals.mean()
+        exp_var = 0.9 * 1.0 + 0.1 * vals.var(ddof=1)
+        exp_out = (xm[..., ch] - vals.mean()) / np.sqrt(
+            vals.var(ddof=0) + 1e-5
+        )
+        for d in range(n_dev):
+            np.testing.assert_allclose(
+                np.asarray(stats["mean"])[d, ch], exp_mean,
+                rtol=1e-5, atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(stats["var"])[d, ch], exp_var,
+                rtol=1e-5, atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out)[d, ..., ch], exp_out[d],
+                rtol=1e-4, atol=1e-5,
+            )
+
+
+@pytest.mark.parametrize("momentum", [0.9, 0.99])
+def test_bn_update_recovers_exact_batch_stats(momentum):
+    """AsymmetricValley's bn_update must recover per-batch statistics
+    exactly regardless of the layer's EMA momentum (it probes the
+    momentum from the module rather than assuming a constant — the
+    repo's models use 0.9, flax's default is 0.99)."""
+    from flax import linen as fnn
+
+    from optwboundeigenval_tpu.models.norm import BatchNorm
+    from optwboundeigenval_tpu.train.asymmetric_valley import bn_update
+    from optwboundeigenval_tpu.train.task import Task
+
+    class TinyBN(fnn.Module):
+        mom: float
+
+        @fnn.compact
+        def __call__(self, x, train=False):
+            return BatchNorm(
+                use_running_average=not train, momentum=self.mom
+            )(x)
+
+    task = Task(model=TinyBN(mom=momentum), has_batch_stats=True)
+    rng = np.random.default_rng(int(momentum * 100))
+    x0 = jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))
+    params, model_state = task.init(jax.random.PRNGKey(0), x0)
+    batches = [
+        {"x": jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))}
+        for _ in range(3)
+    ]
+    new_state = bn_update(task, params, model_state, batches, lambda b: b)
+
+    per_batch_mean = np.stack(
+        [np.asarray(b["x"]).mean(axis=0) for b in batches]
+    )
+    per_batch_var = np.stack(
+        [np.asarray(b["x"]).var(axis=0, ddof=1) for b in batches]
+    )
+    stats = new_state["batch_stats"]["BatchNorm_0"]
+    np.testing.assert_allclose(
+        np.asarray(stats["mean"]),
+        per_batch_mean.mean(axis=0), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats["var"]),
+        per_batch_var.mean(axis=0), rtol=1e-5, atol=1e-6,
+    )
