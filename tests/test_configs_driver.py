@@ -315,3 +315,42 @@ def test_driver_device_data_unwraps_prefetch(tmp_path, monkeypatch):
     opt["device_data"] = True
     tr = run(opt)
     assert tr.f == tr.f  # trained without error (finite check in train)
+
+
+def test_asymmetric_valley_with_batchnorm_model(tmp_path, monkeypatch):
+    """AV + BatchNorm model end-to-end: the SWA phase's bn_update must
+    produce sane-scale statistics (regression: a hardcoded 0.99 EMA
+    inversion inflated recovered stats 10x on the repo's momentum=0.9
+    layers) and eval through them without accuracy collapse."""
+    monkeypatch.chdir(tmp_path)
+    from optwboundeigenval_tpu.train.asymmetric_valley import (
+        AsymmetricValleyTrainer,
+    )
+
+    x, y = make_images(64, shape=(32, 32, 3), n_classes=4, seed=0)
+    task = Task(
+        model=DenseNet3(depth=10, growth_rate=4, num_classes=4),
+        has_batch_stats=True,
+    )
+    tr = AsymmetricValleyTrainer(
+        task, sgd(0.05),
+        swa=True, swa_start=2, sgd_start=4, save_freq=1, eval_freq=1,
+        division_part=4, distances=2,
+        mu=0.0, K=0.0, batch_size=32, max_iter=4, min_iter=4,
+        header="AVBN", log_dir=str(tmp_path / "logs"),
+        model_dir=str(tmp_path / "models"),
+    )
+    tr.train(
+        train_loader=ArrayLoader(x, y, 32, shuffle=True, seed=1),
+        valid_loader=ArrayLoader(x[:32], y[:32], 32),
+    )
+    assert tr.swa_n >= 1
+    state = tr.swa_model_state or tr.model_state
+    refreshed = jax.tree.leaves(state["batch_stats"])
+    raw = jax.tree.leaves(tr.model_state["batch_stats"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in refreshed)
+    # bn_update stats must be the same SCALE as the EMA-trained ones
+    # (the 0.99-inversion bug made them ~10x larger)
+    mx_ref = max(float(np.abs(np.asarray(l)).max()) for l in refreshed)
+    mx_raw = max(float(np.abs(np.asarray(l)).max()) for l in raw)
+    assert mx_ref < 4.0 * max(mx_raw, 1.0)
