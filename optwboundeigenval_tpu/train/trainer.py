@@ -78,6 +78,7 @@ class SpectralTrainer:
         ignore_bad_vals: bool = True,
         rand_init: bool = False,
         pow_iter_alpha: Union[float, Callable] = 1.0,
+        pow_iter_momentum: Optional[float] = None,
         gradg_clip: Optional[float] = None,
         best_h: bool = False,
         btch_h: bool = False,
@@ -119,6 +120,16 @@ class SpectralTrainer:
         self.ignore_bad_vals = ignore_bad_vals
         self.rand_init = rand_init
         self.pow_iter_alpha = pow_iter_alpha
+        # heavy-ball accelerated power method (ops/eigen.py momentum):
+        # fewer HVPs per step in the small-spectral-gap regime; not a
+        # reference knob, off by default for trajectory parity.  Not
+        # combinable with lobpcg (the recurrence replaces the
+        # preconditioned update).
+        if pow_iter_momentum is not None and lobpcg:
+            raise ValueError(
+                "pow_iter_momentum does not compose with lobpcg"
+            )
+        self.pow_iter_momentum = pow_iter_momentum
         self.gradg_clip = gradg_clip
         self.best_h_val = best_h
         self.verbose = verbose
@@ -411,6 +422,7 @@ class SpectralTrainer:
                     alpha=self.pow_iter_alpha,
                     precond=precond,
                     ignore_bad_vals=self.ignore_bad_vals,
+                    momentum=self.pow_iter_momentum,
                 )
                 sg = spectral.penalty_and_grad(
                     loss_fn,
@@ -590,6 +602,7 @@ class SpectralTrainer:
                 alpha=self.pow_iter_alpha,
                 precond=precond,
                 ignore_bad_vals=self.ignore_bad_vals,
+                momentum=self.pow_iter_momentum,
             )
             if self.task.has_batch_stats:
                 _, new_model_state = self.task.train_loss(
@@ -1345,6 +1358,7 @@ class SpectralTrainer:
                     max_iter=self.max_pow_iter,
                     alpha=self.pow_iter_alpha,
                     ignore_bad_vals=self.ignore_bad_vals,
+                    momentum=self.pow_iter_momentum,
                 )
 
             self._compiled["rho_fused"] = jax.jit(

@@ -155,6 +155,9 @@ _BREADTH = {
     # (parallel.shard_stacked_batch); the scanned step must insert the
     # same per-step collectives as the per-batch program
     "scan": dict(defer_metrics=True, scan_steps=2),
+    # heavy-ball accelerated eigensolve: its three-term recurrence is
+    # pure pytree math, so GSPMD must reproduce single-device exactly
+    "momentum": dict(pow_iter_momentum=0.9),
 }
 
 

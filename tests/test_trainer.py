@@ -450,3 +450,39 @@ def test_device_loader_trajectory_matches_host(tmp_path):
         ):
             np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                        rtol=1e-6, atol=1e-7)
+
+
+def test_pow_iter_momentum_trains_and_matches_plain_rho(tmp_path):
+    """pow_iter_momentum (heavy-ball accelerated eigensolve) trains
+    end-to-end and reaches the same converged rho as the plain solver
+    at a tight eps on the same trajectory start; lobpcg composition is
+    rejected."""
+    x, y = make_classification(128, 10, 4, seed=0)
+    kw = dict(
+        mu=0.01, K=0.0, batch_size=32, max_iter=2, min_iter=2,
+        max_pow_iter=200, pow_iter_eps=1e-6,
+        log_dir=str(tmp_path / "logs"), model_dir=str(tmp_path / "models"),
+    )
+
+    def run_one(momentum, header):
+        task = Task(model=ForestNet(hidden=10, num_classes=4))
+        tr = SpectralTrainer(
+            task, sgd(0.05), header=header,
+            pow_iter_momentum=momentum, **kw,
+        )
+        tr.train(train_loader=ArrayLoader(x, y, 32, shuffle=False))
+        return tr
+
+    plain = run_one(None, "PIM0")
+    mom = run_one(0.9, "PIM9")
+    assert np.isfinite(mom.rho) and mom.rho > 0
+    # identical data/weights, both solved to eps=1e-6: same operator,
+    # same dominant eigenvalue (trajectories may differ slightly via the
+    # penalty gradient's eigenvector, hence the loose tolerance)
+    np.testing.assert_allclose(mom.rho, plain.rho, rtol=5e-2)
+
+    with pytest.raises(ValueError):
+        SpectralTrainer(
+            Task(model=ForestNet(hidden=10, num_classes=4)), sgd(0.05),
+            lobpcg=True, pow_iter_momentum=0.9, **kw,
+        )
