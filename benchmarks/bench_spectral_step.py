@@ -29,6 +29,7 @@ import numpy as np
 
 def build_trainer(model_name, batch, remat, defer=False, px=None,
                   hvp_micro=0, scan_steps=1, donate=False,
+                  rand_init=False, momentum=None, pow_eps=0.05,
                   workdir="/tmp/bench_sstep"):
     import jax.numpy as jnp
 
@@ -67,10 +68,11 @@ def build_trainer(model_name, batch, remat, defer=False, px=None,
     # cifar10_DenseNet recipe knobs (SGD momentum, pow_iter_eps 0.05,
     # binding band K=0 so the vGHv path runs EVERY step — worst case)
     tr = SpectralTrainer(
-        task, sgd(0.1, momentum=0.9), mu=0.01, K=0.0, pow_iter_eps=0.05,
+        task, sgd(0.1, momentum=0.9), mu=0.01, K=0.0, pow_iter_eps=pow_eps,
         batch_size=batch, max_pow_iter=100, ignore_bad_vals=False,
         remat=remat, defer_metrics=defer, hvp_micro=hvp_micro,
         scan_steps=scan_steps, donate=donate,
+        rand_init=rand_init, pow_iter_momentum=momentum,
         header="BENCH_SSTEP", seed=0,
         log_dir=os.path.join(workdir, "logs"),
         model_dir=os.path.join(workdir, "models"),
@@ -82,10 +84,12 @@ def build_trainer(model_name, batch, remat, defer=False, px=None,
 
 def measure(model_name="dn40", batch=128, remat=True, defer=False,
             px=None, hvp_micro=0, scan_steps=1, donate=False,
+            rand_init=False, momentum=None, pow_eps=0.05,
             n_small=5, n_large=20):
     tr, batches = build_trainer(model_name, batch, remat, defer, px=px,
                                 hvp_micro=hvp_micro, scan_steps=scan_steps,
-                                donate=donate)
+                                donate=donate, rand_init=rand_init,
+                                momentum=momentum, pow_eps=pow_eps)
 
     if scan_steps > 1:
         import jax.numpy as jnp
@@ -167,6 +171,7 @@ def measure(model_name="dn40", batch=128, remat=True, defer=False,
     return dict(
         model=model_name, batch=batch, remat=remat, defer=defer,
         px=px, hvp_micro=hvp_micro, scan_steps=scan_steps, donate=donate,
+        rand_init=rand_init, momentum=momentum, pow_eps=pow_eps,
         steps_per_sec=round(steps, 4),
         examples_per_sec=round(steps * batch, 1),
         mean_pow_iters=pow_iters,
@@ -187,6 +192,16 @@ if __name__ == "__main__":
     ap.add_argument("--scan_steps", type=int, default=1,
                     help="fuse chunks of k steps into one lax.scan "
                          "program (implies the defer protocol)")
+    ap.add_argument("--rand_init", action="store_true",
+                    help="fresh eigenvector every batch (the chestxray "
+                         "best_reg recipe, params/chestxray_best_reg.py) "
+                         "— the many-power-iterations regime")
+    ap.add_argument("--pow_eps", type=float, default=0.05,
+                    help="pow_iter_eps (reference default 1e-3; the "
+                         "cifar recipe's 0.05 is the bench default)")
+    ap.add_argument("--momentum", type=float, default=None,
+                    help="pow_iter_momentum: heavy-ball accelerated "
+                         "eigensolve (ops/eigen.py)")
     ap.add_argument("--donate", action="store_true",
                     help="donate params/opt_state/v into the step "
                          "program (in-place update, ~1 param+opt tree "
@@ -199,5 +214,8 @@ if __name__ == "__main__":
                              hvp_micro=args.hvp_micro,
                              scan_steps=args.scan_steps,
                              donate=args.donate,
+                             rand_init=args.rand_init,
+                             momentum=args.momentum,
+                             pow_eps=args.pow_eps,
                              n_small=args.n_small,
                              n_large=args.n_large)), flush=True)
