@@ -433,6 +433,134 @@ def subspace_iteration(
     )
 
 
+def lanczos_dominant(
+    matvec: MatVec,
+    v0: Any,
+    *,
+    m: int = 16,
+    eps: float = 1e-3,
+    explicit_residual: bool = True,
+) -> PowerIterResult:
+    """Dominant eigenpair of the symmetric operator ``matvec`` by an
+    ``m``-step Lanczos process with full reorthogonalization — a
+    capability upgrade over the reference's power method
+    (opt.py:418-533): Krylov convergence is ``O(1/sqrt(gap))`` per
+    HVP against power iteration's ``O(1/gap)``, so at tight
+    tolerances and small spectral gaps the same accuracy costs far
+    fewer Hessian-vector products.
+
+    TPU-native shape: a ``lax.scan`` of exactly ``m`` HVPs (static
+    trip count — one compiled program, no data-dependent exit), a
+    dense ``(m, m)`` tridiagonal ``eigh`` on device, and one basis
+    contraction for the Ritz vector.  The Krylov basis is held as an
+    ``(m, n)`` f32 buffer — memory cost ``m`` parameter-vector copies
+    (document-before-use for very large models; m=8-16 is ample).
+
+    Returns a :class:`PowerIterResult` so it is drop-in for the
+    trainer: ``rho``/``v``/``norm`` follow comp_rho semantics
+    (opt.py:455-466); ``res_change`` carries the free Lanczos
+    residual estimate ``|beta_m * y_m|``; ``iters`` counts HVPs
+    (``m``, +1 when ``explicit_residual`` re-measures ``|Hv - λv|``
+    with a final matvec).  ``converged`` fires on either the absolute
+    residual ``norm < eps`` or the reference-analog relative-Δλ rule
+    (opt.py:477-481 stop3): leading Ritz value at Krylov depth m vs
+    depth m−1 changed by under ``eps`` relative.
+
+    Breakdown (an exactly invariant Krylov subspace, ``beta_j ≈ 0``)
+    is handled by zeroing the subsequent iterates: the dead steps
+    contribute zero rows to ``T`` (harmless spurious zero eigenvalues)
+    and the Ritz pair from the live leading block is exact.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    flat0, unravel = ravel_pytree(v0)
+    n = int(flat0.size)
+    m = int(min(m, n))
+    wdtype = jnp.result_type(jnp.float32, flat0.dtype)  # basis precision
+
+    def mv(u):
+        out, _ = ravel_pytree(matvec(unravel(u.astype(flat0.dtype))))
+        return out.astype(wdtype)
+
+    q0 = flat0.astype(wdtype)
+    q0 = q0 / jnp.maximum(jnp.sqrt(jnp.vdot(q0, q0).real), 1e-30)
+
+    class _LCarry(NamedTuple):
+        V: jax.Array  # (m, n) basis rows; unfilled rows are zero
+        q: jax.Array
+        q_prev: jax.Array
+        beta_prev: jax.Array
+
+    def body(c: _LCarry, j: jax.Array):
+        V = jax.lax.dynamic_update_index_in_dim(c.V, c.q, j, axis=0)
+        w = mv(c.q)
+        alpha_j = jnp.vdot(w, c.q).real
+        w = w - alpha_j * c.q - c.beta_prev * c.q_prev
+        # Full reorthogonalization, two passes (classical Gram-Schmidt
+        # against the whole stored basis; zero rows contribute nothing,
+        # so no index mask is needed).
+        w = w - V.T @ (V @ w)
+        w = w - V.T @ (V @ w)
+        beta_j = jnp.sqrt(jnp.vdot(w, w).real)
+        live = beta_j > 1e-12
+        q_next = jnp.where(live, w / jnp.maximum(beta_j, 1e-30), jnp.zeros_like(w))
+        beta_rec = jnp.where(live, beta_j, 0.0)
+        return (
+            _LCarry(V=V, q=q_next, q_prev=c.q, beta_prev=beta_rec),
+            (alpha_j, beta_rec),
+        )
+
+    init = _LCarry(
+        V=jnp.zeros((m, n), wdtype),
+        q=q0,
+        q_prev=jnp.zeros_like(q0),
+        beta_prev=jnp.asarray(0.0, wdtype),
+    )
+    carry, (alphas, betas) = jax.lax.scan(init=init, f=body, xs=jnp.arange(m))
+
+    T = (
+        jnp.diag(alphas)
+        + jnp.diag(betas[:-1], 1)
+        + jnp.diag(betas[:-1], -1)
+    )
+    evals, evecs = jnp.linalg.eigh(T)
+    idx = jnp.argmax(jnp.abs(evals))
+    lam = evals[idx]
+    y = evecs[:, idx]
+    # Reference-analog relative-Δλ stop (opt.py:477-481 stop3): the
+    # leading Ritz value of the depth-(m-1) Krylov space vs depth m.
+    if m > 1:
+        evals_prev = jnp.linalg.eigvalsh(T[: m - 1, : m - 1])
+        lam_prev = jnp.max(jnp.abs(evals_prev))
+        dlam_rel = jnp.where(
+            lam_prev > 0, jnp.abs(jnp.abs(lam) - lam_prev) / lam_prev, jnp.inf
+        )
+    else:
+        dlam_rel = jnp.asarray(jnp.inf, wdtype)
+    v_flat = carry.V.T @ y
+    v_flat = v_flat / jnp.maximum(jnp.sqrt(jnp.vdot(v_flat, v_flat).real), 1e-30)
+
+    # Free residual estimate from the Lanczos identity
+    # ||H v - lam v|| = |beta_m| * |y_m| (exact in exact arithmetic).
+    est = jnp.abs(betas[-1]) * jnp.abs(y[-1])
+    if explicit_residual:
+        hv = mv(v_flat)
+        norm = jnp.sqrt(jnp.vdot(hv - lam * v_flat, hv - lam * v_flat).real)
+        iters = jnp.asarray(m + 1, jnp.int32)
+    else:
+        norm = est
+        iters = jnp.asarray(m, jnp.int32)
+
+    return PowerIterResult(
+        rho=jnp.abs(lam),
+        v=unravel(v_flat.astype(flat0.dtype)),
+        norm=norm,
+        res_change=est,
+        iters=iters,
+        converged=(norm < eps) | (dlam_rel < eps),
+    )
+
+
 def estimate_dominant_eig(
     matvec: MatVec,
     v0: Any,
@@ -444,21 +572,41 @@ def estimate_dominant_eig(
     ignore_bad_vals: bool = True,
     cap_by_dim: bool = True,
     momentum: Optional[float] = None,
+    method: str = "power",
+    lanczos_m: int = 16,
 ) -> PowerIterResult:
-    """Power iteration plus the reference's discard protocol: if the
-    stopping rule never fired and ``ignore_bad_vals``, report
+    """Dominant-eigenpair solve plus the reference's discard protocol:
+    if the stopping rule never fired and ``ignore_bad_vals``, report
     ``rho = -1`` and reset the warm-start vector to the deterministic
-    uniform vector (opt.py:513-520)."""
-    res = power_iteration(
-        matvec,
-        v0,
-        eps=eps,
-        max_iter=max_iter,
-        alpha=alpha,
-        precond=precond,
-        cap_by_dim=cap_by_dim,
-        momentum=momentum,
-    )
+    uniform vector (opt.py:513-520).
+
+    ``method='power'`` (default) is the reference-parity damped power
+    iteration; ``method='lanczos'`` swaps in :func:`lanczos_dominant`
+    (``lanczos_m`` HVPs, Krylov convergence) under the same warm-start
+    and discard semantics.
+    """
+    if method == "lanczos":
+        if precond is not None:
+            raise ValueError(
+                "lanczos eigensolve does not compose with a "
+                "preconditioner; use one or the other"
+            )
+        res = lanczos_dominant(
+            matvec, v0, m=min(lanczos_m, max_iter), eps=eps
+        )
+    elif method == "power":
+        res = power_iteration(
+            matvec,
+            v0,
+            eps=eps,
+            max_iter=max_iter,
+            alpha=alpha,
+            precond=precond,
+            cap_by_dim=cap_by_dim,
+            momentum=momentum,
+        )
+    else:
+        raise ValueError(f"unknown eigensolve method: {method!r}")
     if not ignore_bad_vals:
         return res
     bad = jnp.logical_not(res.converged)

@@ -79,6 +79,8 @@ class SpectralTrainer:
         rand_init: bool = False,
         pow_iter_alpha: Union[float, Callable] = 1.0,
         pow_iter_momentum: Optional[float] = None,
+        eigensolver: str = "power",
+        lanczos_m: int = 16,
         gradg_clip: Optional[float] = None,
         best_h: bool = False,
         btch_h: bool = False,
@@ -130,6 +132,20 @@ class SpectralTrainer:
                 "pow_iter_momentum does not compose with lobpcg"
             )
         self.pow_iter_momentum = pow_iter_momentum
+        # Krylov eigensolve (ops/eigen.py lanczos_dominant): 'lanczos'
+        # swaps the power loop for an m-step Lanczos process — fewer
+        # HVPs at tight tolerances; not a reference knob, 'power' is
+        # the parity default.  Same warm-start + discard semantics.
+        if eigensolver not in ("power", "lanczos"):
+            raise ValueError(f"unknown eigensolver: {eigensolver!r}")
+        if eigensolver == "lanczos" and lobpcg:
+            raise ValueError("eigensolver='lanczos' does not compose with lobpcg")
+        if eigensolver == "lanczos" and pow_iter_momentum is not None:
+            raise ValueError(
+                "eigensolver='lanczos' does not compose with pow_iter_momentum"
+            )
+        self.eigensolver = eigensolver
+        self.lanczos_m = int(lanczos_m)
         self.gradg_clip = gradg_clip
         self.best_h_val = best_h
         self.verbose = verbose
@@ -423,6 +439,8 @@ class SpectralTrainer:
                     precond=precond,
                     ignore_bad_vals=self.ignore_bad_vals,
                     momentum=self.pow_iter_momentum,
+                    method=self.eigensolver,
+                    lanczos_m=self.lanczos_m,
                 )
                 sg = spectral.penalty_and_grad(
                     loss_fn,
@@ -603,6 +621,8 @@ class SpectralTrainer:
                 precond=precond,
                 ignore_bad_vals=self.ignore_bad_vals,
                 momentum=self.pow_iter_momentum,
+                method=self.eigensolver,
+                lanczos_m=self.lanczos_m,
             )
             if self.task.has_batch_stats:
                 _, new_model_state = self.task.train_loss(
@@ -1359,6 +1379,8 @@ class SpectralTrainer:
                     alpha=self.pow_iter_alpha,
                     ignore_bad_vals=self.ignore_bad_vals,
                     momentum=self.pow_iter_momentum,
+                    method=self.eigensolver,
+                    lanczos_m=self.lanczos_m,
                 )
 
             self._compiled["rho_fused"] = jax.jit(

@@ -158,6 +158,10 @@ _BREADTH = {
     # heavy-ball accelerated eigensolve: its three-term recurrence is
     # pure pytree math, so GSPMD must reproduce single-device exactly
     "momentum": dict(pow_iter_momentum=0.9),
+    # Krylov eigensolve: the (m, n) basis is replicated, the HVPs it
+    # drives are batch-psum'd — the m-step scan + reorth contractions
+    # must reproduce single-device exactly under GSPMD
+    "lanczos": dict(eigensolver="lanczos", lanczos_m=8),
 }
 
 

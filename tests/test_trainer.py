@@ -486,3 +486,37 @@ def test_pow_iter_momentum_trains_and_matches_plain_rho(tmp_path):
             Task(model=ForestNet(hidden=10, num_classes=4)), sgd(0.05),
             lobpcg=True, pow_iter_momentum=0.9, **kw,
         )
+
+
+def test_lanczos_eigensolver_trains_and_matches_plain_rho(tmp_path):
+    """eigensolver='lanczos' (m-step Krylov solve) trains end-to-end
+    and reaches the same converged rho as the power solver at a tight
+    eps from the same start; invalid compositions are rejected."""
+    x, y = make_classification(128, 10, 4, seed=0)
+    kw = dict(
+        mu=0.01, K=0.0, batch_size=32, max_iter=2, min_iter=2,
+        max_pow_iter=200, pow_iter_eps=1e-6,
+        log_dir=str(tmp_path / "logs"), model_dir=str(tmp_path / "models"),
+    )
+
+    def run_one(header, **extra):
+        task = Task(model=ForestNet(hidden=10, num_classes=4))
+        tr = SpectralTrainer(task, sgd(0.05), header=header, **extra, **kw)
+        tr.train(train_loader=ArrayLoader(x, y, 32, shuffle=False))
+        return tr
+
+    plain = run_one("LZP")
+    lz = run_one("LZL", eigensolver="lanczos", lanczos_m=24)
+    assert np.isfinite(lz.rho) and lz.rho > 0
+    np.testing.assert_allclose(lz.rho, plain.rho, rtol=5e-2)
+
+    for bad in (
+        dict(eigensolver="lanczos", lobpcg=True),
+        dict(eigensolver="lanczos", pow_iter_momentum=0.9),
+        dict(eigensolver="arnoldi"),
+    ):
+        with pytest.raises(ValueError):
+            SpectralTrainer(
+                Task(model=ForestNet(hidden=10, num_classes=4)), sgd(0.05),
+                **bad, **kw,
+            )
