@@ -30,6 +30,7 @@ import numpy as np
 def build_trainer(model_name, batch, remat, defer=False, px=None,
                   hvp_micro=0, scan_steps=1, donate=False,
                   rand_init=False, momentum=None, pow_eps=0.05,
+                  lanczos=0,
                   workdir="/tmp/bench_sstep"):
     import jax.numpy as jnp
 
@@ -73,6 +74,8 @@ def build_trainer(model_name, batch, remat, defer=False, px=None,
         remat=remat, defer_metrics=defer, hvp_micro=hvp_micro,
         scan_steps=scan_steps, donate=donate,
         rand_init=rand_init, pow_iter_momentum=momentum,
+        eigensolver="lanczos" if lanczos else "power",
+        lanczos_m=lanczos or 16,
         header="BENCH_SSTEP", seed=0,
         log_dir=os.path.join(workdir, "logs"),
         model_dir=os.path.join(workdir, "models"),
@@ -85,11 +88,13 @@ def build_trainer(model_name, batch, remat, defer=False, px=None,
 def measure(model_name="dn40", batch=128, remat=True, defer=False,
             px=None, hvp_micro=0, scan_steps=1, donate=False,
             rand_init=False, momentum=None, pow_eps=0.05,
+            lanczos=0,
             n_small=5, n_large=20):
     tr, batches = build_trainer(model_name, batch, remat, defer, px=px,
                                 hvp_micro=hvp_micro, scan_steps=scan_steps,
                                 donate=donate, rand_init=rand_init,
-                                momentum=momentum, pow_eps=pow_eps)
+                                momentum=momentum, pow_eps=pow_eps,
+                                lanczos=lanczos)
 
     if scan_steps > 1:
         import jax.numpy as jnp
@@ -144,6 +149,7 @@ def measure(model_name="dn40", batch=128, remat=True, defer=False,
     # from the compiled program's cost analysis
     m = tr.train_step(batches[0], fetch=True)
     pow_iters = float(np.asarray(m["pow_iters"]))
+    rho = float(np.asarray(m["rho"]))
     mfu = None
     try:
         import jax
@@ -172,9 +178,11 @@ def measure(model_name="dn40", batch=128, remat=True, defer=False,
         model=model_name, batch=batch, remat=remat, defer=defer,
         px=px, hvp_micro=hvp_micro, scan_steps=scan_steps, donate=donate,
         rand_init=rand_init, momentum=momentum, pow_eps=pow_eps,
+        lanczos=lanczos,
         steps_per_sec=round(steps, 4),
         examples_per_sec=round(steps * batch, 1),
         mean_pow_iters=pow_iters,
+        rho=round(rho, 6),
         mfu_pct_bf16_peak=round(mfu, 2) if mfu is not None else None,
     )
 
@@ -199,6 +207,9 @@ if __name__ == "__main__":
     ap.add_argument("--pow_eps", type=float, default=0.05,
                     help="pow_iter_eps (reference default 1e-3; the "
                          "cifar recipe's 0.05 is the bench default)")
+    ap.add_argument("--lanczos", type=int, default=0,
+                    help="use the m-step Lanczos eigensolve instead of "
+                         "power iteration (ops/eigen.py lanczos_dominant)")
     ap.add_argument("--momentum", type=float, default=None,
                     help="pow_iter_momentum: heavy-ball accelerated "
                          "eigensolve (ops/eigen.py)")
@@ -217,5 +228,6 @@ if __name__ == "__main__":
                              rand_init=args.rand_init,
                              momentum=args.momentum,
                              pow_eps=args.pow_eps,
+                             lanczos=args.lanczos,
                              n_small=args.n_small,
                              n_large=args.n_large)), flush=True)

@@ -354,3 +354,21 @@ def test_asymmetric_valley_with_batchnorm_model(tmp_path, monkeypatch):
     mx_ref = max(float(np.abs(np.asarray(l)).max()) for l in refreshed)
     mx_raw = max(float(np.abs(np.asarray(l)).max()) for l in raw)
     assert mx_ref < 4.0 * max(mx_raw, 1.0)
+
+
+def test_driver_passes_eigensolver_knobs():
+    """eigensolver / lanczos_m / pow_iter_momentum flow from an
+    options() dict through the reflection driver (opt.py:1940-1965
+    equivalent) into the trainer ctor."""
+    mod = importlib.import_module(
+        "optwboundeigenval_tpu.configs.forest_best"
+    )
+    opt = dict(mod.options())
+    opt.update(eigensolver="lanczos", lanczos_m=12)
+    tr = build_trainer(opt)
+    assert tr.eigensolver == "lanczos" and tr.lanczos_m == 12
+
+    opt = dict(mod.options())
+    opt.update(pow_iter_momentum=0.9)
+    tr = build_trainer(opt)
+    assert tr.pow_iter_momentum == 0.9
