@@ -188,6 +188,63 @@ def measure_s224_bounded(budget_s: int = 900):
     return None
 
 
+def measure_eigensolve_bounded(budget_s: int = 300):
+    """Reference-protocol eigensolve speedup, in a BOUNDED subprocess.
+
+    The regime is the reference's own: its default ``pow_iter_eps=1e-3``
+    and the CXR flagship's ``rand_init=True`` (fresh eigenvector every
+    batch, params/chestxray_best_reg.py) — the many-power-iterations
+    case where the eigensolve dominates the step.  Two full spectral
+    train-step measurements on dn40/b128/bf16+remat+defer: plain power
+    iteration (the reference's protocol, opt.py:418-533) vs the Lanczos
+    m=8 Krylov solve (ops/eigen.py lanczos_dominant — a capability the
+    reference does not have; RESULTS.md round-3 eigensolve tables).
+    Subprocesses run BEFORE the parent touches the TPU (one tunneled
+    client at a time) and fall back to the last recorded measurement on
+    timeout (sidecar: benchmarks/last_eigsolve.json)."""
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sidecar = os.path.join(here, "benchmarks", "last_eigsolve.json")
+    budget_s = int(os.environ.get("OWB_BENCH_EIG_BUDGET", budget_s))
+    base = [
+        sys.executable,
+        os.path.join(here, "benchmarks", "bench_spectral_step.py"),
+        "--model", "dn40", "--batch", "128",
+        "--remat", "--defer", "--rand_init", "--pow_eps", "1e-3",
+    ]
+    res = {}
+    try:
+        for name, extra in (("power", []), ("lanczos", ["--lanczos", "8"])):
+            out = subprocess.run(base + extra, capture_output=True,
+                                 text=True, timeout=budget_s)
+            for line in reversed(out.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    m = json.loads(line)
+                    res[f"{name}_steps_per_sec"] = m["steps_per_sec"]
+                    break
+            else:
+                raise RuntimeError(f"no JSON line from {name} run")
+        res["eigsolve_source"] = "live"
+        with open(sidecar, "w") as fh:
+            json.dump(res, fh)
+        return res
+    except Exception as e:
+        print(f"# eigensolve stage fell back ({e})", file=sys.stderr,
+              flush=True)
+    if os.path.exists(sidecar):
+        try:
+            with open(sidecar) as fh:
+                res = json.load(fh)
+            res["eigsolve_source"] = "recorded"
+            return res
+        except (json.JSONDecodeError, OSError, ValueError):
+            return None
+    return None
+
+
 def main() -> None:
     import sys
 
@@ -201,6 +258,9 @@ def main() -> None:
     # time through the tunnel): the heavyweight 224px measure, bounded
     _stage("dn121_224_sstep_subprocess")
     s224 = measure_s224_bounded()
+    # reference-protocol eigensolve speedup (also pre-client subprocesses)
+    _stage("eigensolve_refproto_subprocess")
+    eig = measure_eigensolve_bounded()
 
     from benchmarks.bench_densenet_hvp import measure
     from benchmarks.bench_spectral_step import measure as measure_step
@@ -263,6 +323,21 @@ def main() -> None:
                     s224.get("best_examples_per_sec") if s224 else None,
                 "mfu_pct_dn121_224_best":
                     s224.get("best_mfu_pct") if s224 else None,
+                # reference-protocol regime (pow_iter_eps=1e-3 +
+                # rand_init): plain power iteration vs the Lanczos m=8
+                # Krylov eigensolve the reference lacks (RESULTS.md)
+                "spectral_steps_per_sec_dn40_refproto_power":
+                    eig.get("power_steps_per_sec") if eig else None,
+                "spectral_steps_per_sec_dn40_refproto_lanczos":
+                    eig.get("lanczos_steps_per_sec") if eig else None,
+                "eigensolve_speedup_lanczos": (
+                    round(eig["lanczos_steps_per_sec"]
+                          / eig["power_steps_per_sec"], 2)
+                    if eig and eig.get("power_steps_per_sec")
+                    and eig.get("lanczos_steps_per_sec") else None
+                ),
+                "eigsolve_source":
+                    eig.get("eigsolve_source") if eig else None,
                 "usps_hvps_per_sec": round(usps, 1),
                 "usps_vs_torch_cpu": round(
                     usps / TORCH_CPU_USPS_BASELINE_HVPS_PER_SEC, 1
