@@ -433,6 +433,128 @@ def subspace_iteration(
     )
 
 
+def _lanczos_basis(mv, q0_flat, m: int):
+    """m-step Lanczos process with two-pass full reorthogonalization.
+
+    ``mv`` maps a flat vector to a flat vector in the working dtype;
+    ``q0_flat`` is the (already flat) start vector.  Returns the
+    ``(m, n)`` orthonormal basis rows ``V`` plus the tridiagonal
+    coefficients ``alphas (m,)`` / ``betas (m,)``.  Breakdown (an
+    exactly invariant Krylov subspace, ``beta_j ≈ 0``) zeroes the
+    subsequent iterates: dead steps contribute zero rows to ``T``
+    (harmless spurious zero eigenvalues) and the Ritz pairs from the
+    live leading block are exact.  Shared by :func:`lanczos_dominant`
+    and :func:`lanczos_spectrum`."""
+    q0 = q0_flat / jnp.maximum(jnp.sqrt(jnp.vdot(q0_flat, q0_flat).real), 1e-30)
+
+    class _LCarry(NamedTuple):
+        V: jax.Array  # (m, n) basis rows; unfilled rows are zero
+        q: jax.Array
+        q_prev: jax.Array
+        beta_prev: jax.Array
+
+    def body(c: _LCarry, j: jax.Array):
+        V = jax.lax.dynamic_update_index_in_dim(c.V, c.q, j, axis=0)
+        w = mv(c.q)
+        alpha_j = jnp.vdot(w, c.q).real
+        w = w - alpha_j * c.q - c.beta_prev * c.q_prev
+        # Full reorthogonalization, two passes (classical Gram-Schmidt
+        # against the whole stored basis; zero rows contribute nothing,
+        # so no index mask is needed).
+        w = w - V.T @ (V @ w)
+        w = w - V.T @ (V @ w)
+        beta_j = jnp.sqrt(jnp.vdot(w, w).real)
+        live = beta_j > 1e-12
+        q_next = jnp.where(live, w / jnp.maximum(beta_j, 1e-30), jnp.zeros_like(w))
+        beta_rec = jnp.where(live, beta_j, 0.0)
+        return (
+            _LCarry(V=V, q=q_next, q_prev=c.q, beta_prev=beta_rec),
+            (alpha_j, beta_rec),
+        )
+
+    init = _LCarry(
+        V=jnp.zeros((m, q0.size), q0.dtype),
+        q=q0,
+        q_prev=jnp.zeros_like(q0),
+        beta_prev=jnp.asarray(0.0, q0.dtype),
+    )
+    carry, (alphas, betas) = jax.lax.scan(init=init, f=body, xs=jnp.arange(m))
+    return carry.V, alphas, betas
+
+
+def lanczos_spectrum(
+    matvec: MatVec,
+    v0: Any,
+    k: int = 4,
+    *,
+    m: int = 32,
+    explicit_residual: bool = True,
+) -> SubspaceResult:
+    """Top-k eigenvalues (by |value|) of the symmetric operator from
+    ONE ``m``-step Lanczos Krylov build — ``m`` HVPs total, against
+    :func:`subspace_iteration`'s ``k`` HVPs *per* Rayleigh-Ritz sweep.
+    The spectrum analog of :func:`lanczos_dominant`, upgrading the
+    reference's top-1 audit (opt.py:882-910) the same way
+    ``spectrum_test`` upgrades ``rho_test``.
+
+    TPU-native shape: the same static-trip ``lax.scan`` of ``m`` HVPs,
+    one dense ``(m, m)`` tridiagonal ``eigh`` on device, and a single
+    ``(n, m) @ (m, k)`` basis contraction for all k Ritz vectors.
+
+    Returns a :class:`SubspaceResult`: ``eigenvalues`` are the k
+    leading Ritz values descending by |value| (signed, like
+    ``subspace_iteration``), ``V`` the (k, n) Ritz-vector rows,
+    ``resid`` per-vector residual norms — the free Lanczos estimates
+    ``|beta_m * y_m[i]|``, or explicitly re-measured ``|H v - λ v|``
+    with k more matvecs when ``explicit_residual`` (vmapped: one
+    batched tangent call on the MXU).  ``iters`` counts HVPs.
+
+    Interior Ritz values converge slower than the extremes; use
+    ``m ≳ 4k`` for trustworthy tails (``resid`` reports per-value
+    accuracy either way).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    flat0, unravel = ravel_pytree(v0)
+    n = int(flat0.size)
+    m = int(min(m, n))
+    k = int(min(k, m))
+    wdtype = jnp.result_type(jnp.float32, flat0.dtype)
+
+    def mv(u):
+        out, _ = ravel_pytree(matvec(unravel(u.astype(flat0.dtype))))
+        return out.astype(wdtype)
+
+    V, alphas, betas = _lanczos_basis(mv, flat0.astype(wdtype), m)
+
+    T = (
+        jnp.diag(alphas)
+        + jnp.diag(betas[:-1], 1)
+        + jnp.diag(betas[:-1], -1)
+    )
+    evals, evecs = jnp.linalg.eigh(T)
+    order = jnp.argsort(-jnp.abs(evals))[:k]
+    lam = evals[order]  # (k,) signed, descending by |value|
+    Y = evecs[:, order]  # (m, k)
+    ritz = (V.T @ Y).T  # (k, n) rows
+    ritz = ritz / jnp.maximum(
+        jnp.linalg.norm(ritz, axis=1, keepdims=True), 1e-30
+    )
+
+    if explicit_residual:
+        W = jax.vmap(mv)(ritz)  # (k, n): one batched tangent call
+        resid = jnp.linalg.norm(W - lam[:, None] * ritz, axis=1)
+        iters = jnp.asarray(m + k, jnp.int32)
+    else:
+        # Lanczos identity: ||H v_i - λ_i v_i|| = |beta_m| * |y_m[i]|
+        resid = jnp.abs(betas[-1]) * jnp.abs(Y[-1, :])
+        iters = jnp.asarray(m, jnp.int32)
+
+    return SubspaceResult(
+        eigenvalues=lam, V=ritz, resid=resid, iters=iters
+    )
+
+
 def lanczos_dominant(
     matvec: MatVec,
     v0: Any,
@@ -482,41 +604,7 @@ def lanczos_dominant(
         out, _ = ravel_pytree(matvec(unravel(u.astype(flat0.dtype))))
         return out.astype(wdtype)
 
-    q0 = flat0.astype(wdtype)
-    q0 = q0 / jnp.maximum(jnp.sqrt(jnp.vdot(q0, q0).real), 1e-30)
-
-    class _LCarry(NamedTuple):
-        V: jax.Array  # (m, n) basis rows; unfilled rows are zero
-        q: jax.Array
-        q_prev: jax.Array
-        beta_prev: jax.Array
-
-    def body(c: _LCarry, j: jax.Array):
-        V = jax.lax.dynamic_update_index_in_dim(c.V, c.q, j, axis=0)
-        w = mv(c.q)
-        alpha_j = jnp.vdot(w, c.q).real
-        w = w - alpha_j * c.q - c.beta_prev * c.q_prev
-        # Full reorthogonalization, two passes (classical Gram-Schmidt
-        # against the whole stored basis; zero rows contribute nothing,
-        # so no index mask is needed).
-        w = w - V.T @ (V @ w)
-        w = w - V.T @ (V @ w)
-        beta_j = jnp.sqrt(jnp.vdot(w, w).real)
-        live = beta_j > 1e-12
-        q_next = jnp.where(live, w / jnp.maximum(beta_j, 1e-30), jnp.zeros_like(w))
-        beta_rec = jnp.where(live, beta_j, 0.0)
-        return (
-            _LCarry(V=V, q=q_next, q_prev=c.q, beta_prev=beta_rec),
-            (alpha_j, beta_rec),
-        )
-
-    init = _LCarry(
-        V=jnp.zeros((m, n), wdtype),
-        q=q0,
-        q_prev=jnp.zeros_like(q0),
-        beta_prev=jnp.asarray(0.0, wdtype),
-    )
-    carry, (alphas, betas) = jax.lax.scan(init=init, f=body, xs=jnp.arange(m))
+    carry_V, alphas, betas = _lanczos_basis(mv, flat0.astype(wdtype), m)
 
     T = (
         jnp.diag(alphas)
@@ -537,7 +625,7 @@ def lanczos_dominant(
         )
     else:
         dlam_rel = jnp.asarray(jnp.inf, wdtype)
-    v_flat = carry.V.T @ y
+    v_flat = carry_V.T @ y
     v_flat = v_flat / jnp.maximum(jnp.sqrt(jnp.vdot(v_flat, v_flat).real), 1e-30)
 
     # Free residual estimate from the Lanczos identity

@@ -1427,20 +1427,34 @@ class SpectralTrainer:
     # over the reference's top-1 rho_test, opt.py:882-910)
     # ------------------------------------------------------------------
     def spectrum_test(self, x=None, y=None, loader=None, k: int = 4,
-                      eps: float = 1e-4, max_iter: int = 200):
-        """Leading |eigenvalues| of the mini-batch Hessians via block
-        power iteration (ops/eigen.subspace_iteration); writes
-        ``<header2>_spectrum_test.csv`` with one row per batch."""
+                      eps: float = 1e-4, max_iter: int = 200,
+                      method: str = "subspace", lanczos_m: int = 0):
+        """Leading |eigenvalues| of the mini-batch Hessians; writes
+        ``<header2>_spectrum_test.csv`` with one row per batch.
+
+        ``method="subspace"`` (default) runs block power iteration to
+        ``eps`` (ops/eigen.subspace_iteration); ``method="lanczos"``
+        gets all k Ritz values from ONE ``lanczos_m``-step Krylov
+        build (default ``max(4k, 16)`` HVPs total — far fewer than
+        block iteration's k per sweep; per-value accuracy is reported
+        in the resid columns, ops/eigen.lanczos_spectrum)."""
         from optwboundeigenval_tpu.utils.tree import tree_uniform_like as _u
 
         if loader is None:
             loader = _as_loader((x, y), self.batch_size)
+        if method not in ("subspace", "lanczos"):
+            raise ValueError(f"spectrum_test method {method!r}")
+        m_lz = int(lanczos_m) or max(4 * k, 16)
 
-        cache_key = ("spectrum_step", k, eps, max_iter)
+        cache_key = ("spectrum_step", method, k, eps, max_iter, m_lz)
         if cache_key not in self._compiled:
             def step(params, model_state, batch, rng):
                 loss_fn = self._loss_fn(model_state, rng)
                 _, hvp_fn = curvature.linearize_hvp(loss_fn, params, batch)
+                if method == "lanczos":
+                    return eigen.lanczos_spectrum(
+                        hvp_fn, _u(params), k=k, m=m_lz
+                    )
                 return eigen.subspace_iteration(
                     hvp_fn, _u(params), k=k, eps=eps, max_iter=max_iter
                 )

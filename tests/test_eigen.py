@@ -458,3 +458,58 @@ def test_lanczos_jittable_and_randomized_oracle():
         v0 = tree_uniform_like({"x": jnp.zeros(n)})
         res = solve(A, v0)
         np.testing.assert_allclose(float(res.rho), true_rho, rtol=1e-3)
+
+
+def test_lanczos_spectrum_topk_matches_dense():
+    """lanczos_spectrum recovers the k dominant eigenvalues (signed,
+    |value|-ordered, including a negative one) from ONE Krylov build,
+    with orthonormal Ritz rows and small explicit residuals."""
+    rng = np.random.default_rng(11)
+    Q, _ = np.linalg.qr(rng.normal(size=(40, 40)))
+    eigs = np.concatenate([[7.0, -5.0, 3.0], np.linspace(0.05, 1.0, 37)])
+    A = jnp.asarray((Q @ np.diag(eigs) @ Q.T).astype(np.float32))
+    v0 = {"x": jnp.full((40,), 1.0 / np.sqrt(40), jnp.float32)}
+    res = eigen.lanczos_spectrum(matvec_from_matrix(A), v0, k=3, m=20)
+    np.testing.assert_allclose(
+        np.asarray(res.eigenvalues), [7.0, -5.0, 3.0], rtol=1e-3
+    )
+    G = np.asarray(res.V @ res.V.T)
+    np.testing.assert_allclose(G, np.eye(3), atol=1e-3)
+    assert np.all(np.asarray(res.resid) < 1e-2)
+    assert int(res.iters) == 20 + 3  # m HVPs + k explicit residuals
+
+    # free-residual mode: no extra matvecs, same leading values
+    res_free = eigen.lanczos_spectrum(
+        matvec_from_matrix(A), v0, k=3, m=20, explicit_residual=False
+    )
+    assert int(res_free.iters) == 20
+    np.testing.assert_allclose(
+        np.asarray(res_free.eigenvalues), [7.0, -5.0, 3.0], rtol=1e-3
+    )
+
+
+def test_lanczos_spectrum_hvp_economy_vs_subspace():
+    """The design point: equal answers to subspace iteration at a
+    fraction of the HVPs (m total vs k per sweep), on a random
+    symmetric operator."""
+    r = np.random.default_rng(205)
+    n = 60
+    Q, _ = np.linalg.qr(r.normal(size=(n, n)))
+    eigs = r.normal(size=n) * 3.0
+    A = jnp.asarray(Q @ np.diag(eigs) @ Q.T)
+    v0 = tree_uniform_like({"x": jnp.zeros(n)})
+    top4 = eigs[np.argsort(-np.abs(eigs))[:4]]
+
+    lz = jax.jit(
+        lambda A, v0: eigen.lanczos_spectrum(
+            matvec_from_matrix(A), v0, k=4, m=24
+        )
+    )(A, v0)
+    ss = eigen.subspace_iteration(
+        matvec_from_matrix(A), v0, k=4, eps=1e-6, max_iter=500
+    )
+    np.testing.assert_allclose(np.asarray(lz.eigenvalues), top4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(lz.eigenvalues), np.asarray(ss.eigenvalues), rtol=1e-3
+    )
+    assert int(lz.iters) < int(ss.iters) * 4  # HVP economy

@@ -520,3 +520,26 @@ def test_lanczos_eigensolver_trains_and_matches_plain_rho(tmp_path):
                 Task(model=ForestNet(hidden=10, num_classes=4)), sgd(0.05),
                 **bad, **kw,
             )
+
+
+def test_spectrum_test_lanczos_method(tmp_path, data):
+    """spectrum_test(method='lanczos') agrees with the block-power
+    method on the leading eigenvalue per batch, writes the same CSV
+    schema, and rejects unknown methods."""
+    train_loader, _ = data
+    tr = make_trainer(tmp_path, header="SPECLZ", max_iter=1)
+    tr.train(train_loader=train_loader)
+    # deterministic loader: the fixture's shuffles per iteration, and
+    # the two audits must see identical batches to compare per-row
+    x, y = make_classification(320, 10, 4, seed=0)
+    audit_loader = ArrayLoader(x, y, batch_size=32)
+    arr_ss = tr.spectrum_test(loader=audit_loader, k=3, eps=1e-5,
+                              max_iter=300)
+    arr_lz = tr.spectrum_test(loader=audit_loader, k=3, method="lanczos",
+                              lanczos_m=24)
+    assert arr_lz.shape == arr_ss.shape
+    np.testing.assert_allclose(arr_lz[:, 0], arr_ss[:, 0], rtol=1e-2)
+    # |value|-descending ordering holds for the Ritz values too
+    assert np.all(np.abs(arr_lz[:, 0]) + 1e-9 >= np.abs(arr_lz[:, 1]))
+    with pytest.raises(ValueError):
+        tr.spectrum_test(loader=train_loader, k=3, method="qr")
