@@ -512,6 +512,19 @@ def lanczos_spectrum(
     Interior Ritz values converge slower than the extremes; use
     ``m ≳ 4k`` for trustworthy tails (``resid`` reports per-value
     accuracy either way).
+
+    Krylov breakdown (``beta_j ≈ 0``: the start vector spans an
+    invariant subspace of dimension < m — typical with degenerate
+    eigenvalues and a symmetric deterministic start) leaves dead zero
+    rows in ``T`` whose spurious 0.0 Ritz pairs would otherwise report
+    residual exactly 0 (false convergence).  Dead pairs are detected
+    from the live-row mask and reported with ``resid = inf``; their
+    ``eigenvalues`` entries are 0 and must be ignored.  Note a
+    single-vector Lanczos process fundamentally cannot resolve
+    eigenvalue *multiplicity* — it finds at most one Ritz pair per
+    distinct eigenvalue reachable from ``v0``; use
+    :func:`subspace_iteration` (random block) when multiplicities
+    matter, or perturb the start vector.
     """
     from jax.flatten_util import ravel_pytree
 
@@ -549,6 +562,18 @@ def lanczos_spectrum(
         # Lanczos identity: ||H v_i - λ_i v_i|| = |beta_m| * |y_m[i]|
         resid = jnp.abs(betas[-1]) * jnp.abs(Y[-1, :])
         iters = jnp.asarray(m, jnp.int32)
+
+    # Mask Ritz pairs supported on dead (post-breakdown) rows of T:
+    # _lanczos_basis records beta_j = 0 exactly on breakdown, so row
+    # j+1 is live iff betas[j] > 0.  T is block-diagonal between live
+    # and dead rows, so each eigenvector is supported (numerically)
+    # on one side; a pair is dead when most of its mass sits on dead
+    # rows.  Dead pairs get resid = inf, never a false 0.
+    row_live = jnp.concatenate(
+        [jnp.ones((1,), bool), betas[:-1] > 0]
+    )  # (m,)
+    dead_mass = jnp.sum((Y**2) * (~row_live)[:, None].astype(Y.dtype), axis=0)
+    resid = jnp.where(dead_mass > 0.5, jnp.inf, resid)
 
     return SubspaceResult(
         eigenvalues=lam, V=ritz, resid=resid, iters=iters

@@ -1437,8 +1437,14 @@ class SpectralTrainer:
         gets all k Ritz values from ONE ``lanczos_m``-step Krylov
         build (default ``max(4k, 16)`` HVPs total — far fewer than
         block iteration's k per sweep; per-value accuracy is reported
-        in the resid columns, ops/eigen.lanczos_spectrum)."""
-        from optwboundeigenval_tpu.utils.tree import tree_uniform_like as _u
+        in the resid columns, ops/eigen.lanczos_spectrum).  ``eps`` and
+        ``max_iter`` apply to the subspace method only and are ignored
+        under lanczos (whose depth is fixed by ``lanczos_m``)."""
+        from optwboundeigenval_tpu.utils.tree import (
+            tree_axpy as _axpy,
+            tree_random_like as _rand,
+            tree_uniform_like as _u,
+        )
 
         if loader is None:
             loader = _as_loader((x, y), self.batch_size)
@@ -1446,14 +1452,29 @@ class SpectralTrainer:
             raise ValueError(f"spectrum_test method {method!r}")
         m_lz = int(lanczos_m) or max(4 * k, 16)
 
-        cache_key = ("spectrum_step", method, k, eps, max_iter, m_lz)
+        # Cache key holds only the knobs the chosen method consumes
+        # (re-jitting on an unused eps/max_iter/m_lz change would be a
+        # multi-second recompile for nothing).
+        if method == "lanczos":
+            cache_key = ("spectrum_step", method, k, m_lz)
+        else:
+            cache_key = ("spectrum_step", method, k, eps, max_iter)
         if cache_key not in self._compiled:
             def step(params, model_state, batch, rng):
                 loss_fn = self._loss_fn(model_state, rng)
                 _, hvp_fn = curvature.linearize_hvp(loss_fn, params, batch)
                 if method == "lanczos":
+                    # A single-vector Krylov build cannot resolve
+                    # eigenvalue multiplicity, and the deterministic
+                    # uniform start can span an invariant subspace
+                    # (breakdown -> dead Ritz pairs).  Perturb the
+                    # start slightly; top-k accuracy is unaffected
+                    # (resid columns report per-value error).
+                    r = _rand(rng, params)
+                    from optwboundeigenval_tpu.utils.tree import tree_norm
+                    v0 = _axpy(1e-2 / tree_norm(r), r, _u(params))
                     return eigen.lanczos_spectrum(
-                        hvp_fn, _u(params), k=k, m=m_lz
+                        hvp_fn, v0, k=k, m=m_lz
                     )
                 return eigen.subspace_iteration(
                     hvp_fn, _u(params), k=k, eps=eps, max_iter=max_iter

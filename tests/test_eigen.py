@@ -488,6 +488,44 @@ def test_lanczos_spectrum_topk_matches_dense():
     )
 
 
+def test_lanczos_spectrum_breakdown_masks_dead_pairs():
+    """Krylov breakdown (start vector inside a low-dim invariant
+    subspace — the advisor's degenerate-spectrum scenario) must NOT
+    produce spurious 0.0 Ritz values with residual exactly 0.  Dead
+    pairs are reported with resid = inf; the live leading block is
+    exact."""
+    eigs = np.array([5.0, 2.0, 2.0, 2.0] + [1.0] * 8, np.float32)
+    A = jnp.asarray(np.diag(eigs))
+    # start vector spans only the (e0, e1) invariant subspace ->
+    # breakdown at step 2 of an m=8 build
+    v0_flat = np.zeros(12, np.float32)
+    v0_flat[0] = v0_flat[1] = 1.0
+    v0 = {"x": jnp.asarray(v0_flat)}
+    for explicit in (True, False):
+        res = eigen.lanczos_spectrum(
+            matvec_from_matrix(A), v0, k=4, m=8,
+            explicit_residual=explicit,
+        )
+        lam = np.asarray(res.eigenvalues)
+        resid = np.asarray(res.resid)
+        # live block: the two reachable eigenvalues, tight residuals
+        np.testing.assert_allclose(lam[:2], [5.0, 2.0], rtol=1e-5)
+        assert np.all(resid[:2] < 1e-3)
+        # dead pairs: masked as inf, never a false 0
+        assert np.all(np.isinf(resid[2:])), resid
+
+    # a genuine zero eigenvalue reachable from the start must NOT be
+    # masked (dead-row mass, not value, is the criterion)
+    eigs2 = np.array([5.0, 0.0, -3.0, 1.0, 0.5, 0.25], np.float32)
+    A2 = jnp.asarray(np.diag(eigs2))
+    v02 = tree_uniform_like({"x": jnp.zeros(6)})
+    res2 = eigen.lanczos_spectrum(matvec_from_matrix(A2), v02, k=6, m=6)
+    assert np.all(np.isfinite(np.asarray(res2.resid)))
+    np.testing.assert_allclose(
+        np.sort(np.asarray(res2.eigenvalues)), np.sort(eigs2), atol=1e-4
+    )
+
+
 def test_lanczos_spectrum_hvp_economy_vs_subspace():
     """The design point: equal answers to subspace iteration at a
     fraction of the HVPs (m total vs k per sweep), on a random
