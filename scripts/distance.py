@@ -23,20 +23,25 @@ def main(dist: str = "euclid", data: str = "Aug2"):
     from optwboundeigenval_tpu.analysis.distance import distance_histogram
     from optwboundeigenval_tpu.data import usps
 
-    test = usps.get_test_loader(batch_size=10**9)
+    # the reference materializes each set as one giant batch
+    # (distance.py batch_size=10**9); we stream normal-size padded
+    # batches and concatenate the live rows — same arrays, and no
+    # padding blow-up from ArrayLoader(pad=True) at a 1e9 batch size
+    bs = 4096
+    test = usps.get_test_loader(batch_size=bs)
     ref_x = np.concatenate([b["x"][b["w"] > 0] for b in test])
 
     if data in ("Aug1", "Aug2"):
-        aug = usps.get_test_loader(batch_size=10**9, augment=True)
+        aug = usps.get_test_loader(batch_size=bs, augment=True)
         loader = aug[0 if data == "Aug1" else 1]
     elif data == "MNIST":
-        loader = usps.get_mnist_loader(batch_size=10**9)
+        loader = usps.get_mnist_loader(batch_size=bs)
     elif data == "GAN":
-        loader = usps.get_gan_loader(batch_size=10**9, file="gan_usps.npz")
+        loader = usps.get_gan_loader(batch_size=bs, file="gan_usps.npz")
     elif data == "GAN2":
-        loader = usps.get_gan_loader(batch_size=10**9, file="cgan_usps.npz")
+        loader = usps.get_gan_loader(batch_size=bs, file="cgan_usps.npz")
     elif "constructed" in data:
-        loader = usps.get_gan_loader(batch_size=10**9, file=data + ".npz")
+        loader = usps.get_gan_loader(batch_size=bs, file=data + ".npz")
     else:
         raise ValueError("Data not supported.")
     shifted_x = np.concatenate([b["x"][b["w"] > 0] for b in loader])

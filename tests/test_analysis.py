@@ -199,6 +199,31 @@ def test_create_dist_dataset(tmp_path):
     assert z["x"].ndim == 4 and len(z["x"]) == len(z["y"])
 
 
+def test_create_dist_cli(tmp_path, monkeypatch):
+    """scripts/create_dist.py reference CLI surface
+    (create_dist.py:65-118): builds <name>.npz from the USPS test set
+    and its two augmented pools (synthetic fallback offline)."""
+    import importlib
+
+    monkeypatch.chdir(tmp_path)
+    mod = importlib.import_module("scripts.create_dist")
+    mod.main(["--dist", "cosine", "--name", "constructed_cli",
+              "--zeroes", "2", "--seed", "0",
+              "--data_dir", str(tmp_path / "data"),
+              "--plot_dir", str(tmp_path / "plots")])
+    z = np.load(tmp_path / "data" / "constructed_cli.npz")
+    assert z["x"].ndim == 4 and len(z["x"]) == len(z["y"])
+    # consumable by the GAN loader, as in the reference flow
+    from optwboundeigenval_tpu.data import usps
+
+    loader = usps.get_gan_loader(
+        batch_size=64, file="constructed_cli.npz",
+        root=str(tmp_path / "data"),
+    )
+    b = next(iter(loader))
+    assert b["x"].shape[1:] == (16, 16, 1)
+
+
 # ---------------------------------------------------------------------------
 # GANs
 # ---------------------------------------------------------------------------
