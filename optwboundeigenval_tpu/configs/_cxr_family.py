@@ -81,7 +81,18 @@ def chestxray_config(
         "comp_test": True,
     }
     if best_reg:
-        opt.update({"rand_init": True, "gradg_clip": 100.0})
+        # rand_init (fresh eigenvector every batch, params/
+        # chestxray_best_reg.py) is the many-HVPs regime where the
+        # measured ~2x Krylov eigensolve pays off — opt into the
+        # adaptive solver policy (trainer resolves 'auto' to the
+        # early-exit Lanczos here; lobpcg variants resolve back to
+        # their own solver).  'power' stays the parity default for
+        # every non-best_reg recipe.
+        opt.update({
+            "rand_init": True,
+            "gradg_clip": 100.0,
+            "eigensolver": "auto",
+        })
 
     common = dict(batch_size=batch_size, size=size, synthetic_n=synthetic_n)
     opt["train_loader"] = cxr.get_nih_loader("train", root=nih_root, **common)

@@ -674,6 +674,146 @@ def lanczos_dominant(
     )
 
 
+def lanczos_dominant_adaptive(
+    matvec: MatVec,
+    v0: Any,
+    *,
+    m_max: int = 16,
+    eps: float = 1e-3,
+) -> PowerIterResult:
+    """Early-exit Lanczos: the Krylov build of :func:`lanczos_dominant`
+    restructured as a ``lax.while_loop`` that stops at the first depth
+    ``j`` where the leading Ritz pair already satisfies the tolerance —
+    warm-started batches (previous eigenvector ≈ converged) exit after
+    2-3 HVPs like power iteration, cold/tight-eps batches run deeper
+    and keep Krylov's ``O(1/sqrt(gap))`` convergence.  This is the
+    solver behind the trainer's ``eigensolver='auto'`` policy.
+
+    Per-depth stopping rule (checked from depth 2):
+
+      * free Lanczos residual estimate ``|beta_j| * |y_j|`` < eps
+        (exact-arithmetic identity for ``|H v - lam v|``), OR
+      * reference-analog relative-Δλ (opt.py:477-481 stop3): leading
+        Ritz value at depth j vs depth j-1 changed < eps relative, OR
+      * Krylov breakdown (``beta_j ≈ 0``: invariant subspace reached,
+        residual exactly 0).
+
+    Per-depth cost beyond the HVP: two reorthogonalization passes over
+    the stored basis (two (j≤m, n) matmuls — MXU work) and one dense
+    ``eigh`` of the zero-padded (m_max, m_max) tridiagonal ``T`` (the
+    padding rows are zero ⇒ spurious 0 eigenvalues that never win the
+    |λ|-argmax).  ``norm`` is re-measured explicitly with one final
+    matvec so the returned residual is an actual ``|Hv − λv|``, not an
+    estimate; ``iters`` counts all HVPs including that one.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    flat0, unravel = ravel_pytree(v0)
+    n = int(flat0.size)
+    m_max = int(min(m_max, n))
+    wdtype = jnp.result_type(jnp.float32, flat0.dtype)
+
+    def mv(u):
+        out, _ = ravel_pytree(matvec(unravel(u.astype(flat0.dtype))))
+        return out.astype(wdtype)
+
+    q0 = flat0.astype(wdtype)
+    q0 = q0 / jnp.maximum(jnp.sqrt(jnp.vdot(q0, q0).real), 1e-30)
+
+    class _ACarry(NamedTuple):
+        V: jax.Array  # (m_max, n) basis rows; unfilled rows zero
+        alphas: jax.Array  # (m_max,)
+        betas: jax.Array  # (m_max,)
+        q: jax.Array
+        q_prev: jax.Array
+        beta_prev: jax.Array
+        j: jax.Array  # depth completed so far
+        lam: jax.Array  # signed leading Ritz value at depth j
+        lam_prev: jax.Array
+        y: jax.Array  # (m_max,) leading Ritz coeffs at depth j
+        est: jax.Array  # free residual estimate at depth j
+        done: jax.Array
+
+    def cond(c: _ACarry):
+        return jnp.logical_and(c.j < m_max, jnp.logical_not(c.done))
+
+    def body(c: _ACarry) -> _ACarry:
+        j = c.j
+        V = jax.lax.dynamic_update_index_in_dim(c.V, c.q, j, axis=0)
+        w = mv(c.q)
+        alpha_j = jnp.vdot(w, c.q).real
+        w = w - alpha_j * c.q - c.beta_prev * c.q_prev
+        # two-pass full reorthogonalization (zero rows are no-ops)
+        w = w - V.T @ (V @ w)
+        w = w - V.T @ (V @ w)
+        beta_j = jnp.sqrt(jnp.vdot(w, w).real)
+        live = beta_j > 1e-12
+        q_next = jnp.where(live, w / jnp.maximum(beta_j, 1e-30),
+                           jnp.zeros_like(w))
+        beta_rec = jnp.where(live, beta_j, 0.0)
+        alphas = c.alphas.at[j].set(alpha_j)
+        betas = c.betas.at[j].set(beta_rec)
+
+        # leading Ritz pair of the depth-(j+1) tridiagonal (zero-padded
+        # to the static m_max; off-diagonal beta_j couples row j to the
+        # not-yet-built row j+1, so mask it out of T at this depth)
+        off = betas.at[j].set(0.0)[:-1]
+        T = jnp.diag(alphas) + jnp.diag(off, 1) + jnp.diag(off, -1)
+        evals, evecs = jnp.linalg.eigh(T)
+        idx = jnp.argmax(jnp.abs(evals))
+        lam = evals[idx]
+        y = evecs[:, idx]
+        est = jnp.abs(beta_rec) * jnp.abs(y[j])
+
+        dlam_rel = jnp.where(
+            jnp.abs(c.lam_prev) > 0,
+            jnp.abs(jnp.abs(lam) - jnp.abs(c.lam_prev))
+            / jnp.abs(c.lam_prev),
+            jnp.asarray(jnp.inf, wdtype),
+        )
+        have_prev = j >= 1  # need two depths for the Δλ test
+        done = (est < eps) | (have_prev & (dlam_rel < eps)) | ~live
+        return _ACarry(
+            V=V, alphas=alphas, betas=betas,
+            q=q_next, q_prev=c.q, beta_prev=beta_rec,
+            j=j + 1, lam=lam, lam_prev=c.lam, y=y, est=est, done=done,
+        )
+
+    zero = jnp.asarray(0.0, wdtype)
+    init = _ACarry(
+        V=jnp.zeros((m_max, n), wdtype),
+        alphas=jnp.zeros((m_max,), wdtype),
+        betas=jnp.zeros((m_max,), wdtype),
+        q=q0,
+        q_prev=jnp.zeros_like(q0),
+        beta_prev=zero,
+        j=jnp.asarray(0, jnp.int32),
+        lam=zero,
+        lam_prev=zero,
+        y=jnp.zeros((m_max,), wdtype),
+        est=jnp.asarray(jnp.inf, wdtype),
+        done=jnp.asarray(False),
+    )
+    fin = jax.lax.while_loop(cond, body, init)
+
+    v_flat = fin.V.T @ fin.y
+    v_flat = v_flat / jnp.maximum(
+        jnp.sqrt(jnp.vdot(v_flat, v_flat).real), 1e-30
+    )
+    hv = mv(v_flat)
+    norm = jnp.sqrt(
+        jnp.vdot(hv - fin.lam * v_flat, hv - fin.lam * v_flat).real
+    )
+    return PowerIterResult(
+        rho=jnp.abs(fin.lam),
+        v=unravel(v_flat.astype(flat0.dtype)),
+        norm=norm,
+        res_change=fin.est,
+        iters=fin.j + 1,  # +1: the explicit final residual matvec
+        converged=fin.done,
+    )
+
+
 def estimate_dominant_eig(
     matvec: MatVec,
     v0: Any,
@@ -696,17 +836,24 @@ def estimate_dominant_eig(
     ``method='power'`` (default) is the reference-parity damped power
     iteration; ``method='lanczos'`` swaps in :func:`lanczos_dominant`
     (``lanczos_m`` HVPs, Krylov convergence) under the same warm-start
-    and discard semantics.
+    and discard semantics; ``method='lanczos_adaptive'`` swaps in
+    :func:`lanczos_dominant_adaptive` (early-exit Krylov depth ≤
+    ``lanczos_m`` — the ``eigensolver='auto'`` policy's solver).
     """
-    if method == "lanczos":
+    if method in ("lanczos", "lanczos_adaptive"):
         if precond is not None:
             raise ValueError(
                 "lanczos eigensolve does not compose with a "
                 "preconditioner; use one or the other"
             )
-        res = lanczos_dominant(
-            matvec, v0, m=min(lanczos_m, max_iter), eps=eps
-        )
+        if method == "lanczos":
+            res = lanczos_dominant(
+                matvec, v0, m=min(lanczos_m, max_iter), eps=eps
+            )
+        else:
+            res = lanczos_dominant_adaptive(
+                matvec, v0, m_max=min(lanczos_m, max_iter), eps=eps
+            )
     elif method == "power":
         res = power_iteration(
             matvec,

@@ -80,7 +80,7 @@ class SpectralTrainer:
         pow_iter_alpha: Union[float, Callable] = 1.0,
         pow_iter_momentum: Optional[float] = None,
         eigensolver: str = "power",
-        lanczos_m: int = 16,
+        lanczos_m: Optional[int] = None,
         gradg_clip: Optional[float] = None,
         best_h: bool = False,
         btch_h: bool = False,
@@ -136,7 +136,19 @@ class SpectralTrainer:
         # swaps the power loop for an m-step Lanczos process — fewer
         # HVPs at tight tolerances; not a reference knob, 'power' is
         # the parity default.  Same warm-start + discard semantics.
-        if eigensolver not in ("power", "lanczos"):
+        #
+        # 'auto' is the measured-speedup POLICY: it resolves to the
+        # early-exit Krylov solver (ops/eigen.lanczos_dominant_adaptive,
+        # depth ≤ lanczos_m with the per-depth Δλ/residual tests) in the
+        # many-HVPs regime — rand_init (fresh eigenvector every batch,
+        # e.g. params/chestxray_best_reg.py) or tight pow_iter_eps ≤
+        # 5e-3 (the reference's own default 1e-3) — and to plain power
+        # iteration at loose eps with a warm start, where 1-2 HVPs
+        # already suffice and a fixed Krylov build would be a slowdown.
+        # lobpcg / pow_iter_momentum recipes keep their own solvers.
+        # lanczos_m=None scales the Krylov depth cap with the tolerance:
+        # m = clip(2*ceil(log10(1/eps)) + 2, 4, 16).
+        if eigensolver not in ("power", "lanczos", "auto"):
             raise ValueError(f"unknown eigensolver: {eigensolver!r}")
         if eigensolver == "lanczos" and lobpcg:
             raise ValueError("eigensolver='lanczos' does not compose with lobpcg")
@@ -144,7 +156,25 @@ class SpectralTrainer:
             raise ValueError(
                 "eigensolver='lanczos' does not compose with pow_iter_momentum"
             )
+        self.eigensolver_requested = eigensolver
+        if eigensolver == "auto":
+            if lobpcg or pow_iter_momentum is not None:
+                eigensolver = "power"
+            elif rand_init or pow_iter_eps <= 5e-3:
+                eigensolver = "lanczos_adaptive"
+            else:
+                eigensolver = "power"
         self.eigensolver = eigensolver
+        if lanczos_m is None:
+            if self.eigensolver_requested == "auto":
+                import math
+
+                lanczos_m = int(
+                    min(16, max(4, 2 * math.ceil(math.log10(
+                        1.0 / max(pow_iter_eps, 1e-12))) + 2))
+                )
+            else:
+                lanczos_m = 16
         self.lanczos_m = int(lanczos_m)
         self.gradg_clip = gradg_clip
         self.best_h_val = best_h

@@ -372,3 +372,31 @@ def test_driver_passes_eigensolver_knobs():
     opt.update(pow_iter_momentum=0.9)
     tr = build_trainer(opt)
     assert tr.pow_iter_momentum == 0.9
+
+
+def test_best_reg_configs_use_auto_eigensolver_policy():
+    """The perf-oriented rand_init recipes (reference params/
+    chestxray_best_reg.py regime) ship eigensolver='auto': the
+    rand_init path resolves to the measured ~2x early-exit Krylov
+    solver, while the lobpcg variant resolves back to power (its own
+    preconditioned solver).  Parity recipes keep 'power'."""
+    mod = importlib.import_module(
+        "optwboundeigenval_tpu.configs.chestxray_best_reg"
+    )
+    opt = mod.options()
+    assert opt["eigensolver"] == "auto" and opt["rand_init"] is True
+    tr = build_trainer(opt)
+    assert tr.eigensolver_requested == "auto"
+    assert tr.eigensolver == "lanczos_adaptive"
+
+    mod = importlib.import_module(
+        "optwboundeigenval_tpu.configs.chestxray_best_lobpcg"
+    )
+    tr = build_trainer(mod.options())
+    assert tr.eigensolver == "power" and tr.lobpcg
+
+    mod = importlib.import_module(
+        "optwboundeigenval_tpu.configs.chestxray_mu0_01_K0"
+    )
+    tr = build_trainer(mod.options())
+    assert tr.eigensolver == "power"

@@ -460,6 +460,82 @@ def test_lanczos_jittable_and_randomized_oracle():
         np.testing.assert_allclose(float(res.rho), true_rho, rtol=1e-3)
 
 
+def test_lanczos_adaptive_early_exit_and_oracle():
+    """lanczos_dominant_adaptive: correct rho on a known spectrum, and
+    the while_loop actually exits early — a warm start (the converged
+    eigenvector fed back, the trainer's cross-batch protocol) costs 2-3
+    HVPs where the cold solve runs deeper."""
+    rng = np.random.default_rng(21)
+    n = 80
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    eigs = np.concatenate([[-6.0, 5.8], rng.uniform(-4, 4, n - 2)])
+    A = jnp.asarray((Q @ np.diag(eigs) @ Q.T).astype(np.float32))
+    v0 = tree_uniform_like({"x": jnp.zeros(n)})
+
+    solve = jax.jit(
+        lambda v: eigen.lanczos_dominant_adaptive(
+            matvec_from_matrix(A), v, m_max=16, eps=1e-3
+        )
+    )
+    cold = solve(v0)
+    assert bool(cold.converged)
+    np.testing.assert_allclose(float(cold.rho), 6.0, rtol=1e-3)
+    warm = solve(cold.v)
+    assert bool(warm.converged)
+    np.testing.assert_allclose(float(warm.rho), 6.0, rtol=1e-3)
+    assert int(warm.iters) <= 4 < int(cold.iters)
+
+    # breakdown: rank-1 operator — invariant subspace after one step,
+    # exits converged with the exact pair
+    u = np.asarray(tree_uniform_like({"x": jnp.zeros(n)})["x"])
+    B = jnp.asarray((5.0 * np.outer(u, u)).astype(np.float32))
+    res2 = eigen.lanczos_dominant_adaptive(matvec_from_matrix(B), v0, m_max=8)
+    assert bool(res2.converged) and bool(jnp.isfinite(res2.v["x"]).all())
+    np.testing.assert_allclose(float(res2.rho), 5.0, rtol=1e-5)
+
+
+def test_lanczos_adaptive_discard_protocol():
+    """estimate_dominant_eig(method='lanczos_adaptive') keeps the
+    reference discard protocol (opt.py:513-520): an unreachable eps at
+    a tiny depth cap reports rho = -1 and resets the eigenvector."""
+    A = gapped_matrix(48, dominant=5.0, rest_max=2.0, seed=9)
+    v0 = tree_uniform_like({"x": jnp.zeros(48)})
+    res = eigen.estimate_dominant_eig(
+        matvec_from_matrix(A), v0, eps=1e-10,
+        method="lanczos_adaptive", lanczos_m=2,
+    )
+    assert float(res.rho) == -1.0
+    np.testing.assert_allclose(
+        np.asarray(res.v["x"]), np.asarray(v0["x"]), rtol=1e-6
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        eigen.estimate_dominant_eig(
+            matvec_from_matrix(A), v0, method="lanczos_adaptive",
+            precond=lambda r: r,
+        )
+
+
+def test_lanczos_adaptive_randomized_oracle():
+    solve = jax.jit(
+        lambda A, v0: eigen.lanczos_dominant_adaptive(
+            matvec_from_matrix(A), v0, m_max=24, eps=1e-5
+        )
+    )
+    for seed in range(4):
+        r = np.random.default_rng(300 + seed)
+        n = int(r.integers(24, 96))
+        Q, _ = np.linalg.qr(r.normal(size=(n, n)))
+        eigs = r.normal(size=n) * 3.0
+        A = jnp.asarray(Q @ np.diag(eigs) @ Q.T)
+        true_rho = float(np.max(np.abs(eigs)))
+        v0 = tree_uniform_like({"x": jnp.zeros(n)})
+        res = solve(A, v0)
+        np.testing.assert_allclose(float(res.rho), true_rho, rtol=1e-3)
+
+
 def test_lanczos_spectrum_topk_matches_dense():
     """lanczos_spectrum recovers the k dominant eigenvalues (signed,
     |value|-ordered, including a negative one) from ONE Krylov build,

@@ -522,6 +522,64 @@ def test_lanczos_eigensolver_trains_and_matches_plain_rho(tmp_path):
             )
 
 
+def test_auto_eigensolver_policy(tmp_path):
+    """eigensolver='auto' (the measured-speedup policy): resolves to
+    the early-exit Krylov solver in the many-HVPs regime (rand_init or
+    tight eps) and to power at loose eps with a warm start; preserves
+    the warm-start + discard protocol; trajectory reaches the same
+    converged rho as the power solver."""
+    x, y = make_classification(128, 10, 4, seed=0)
+    kw = dict(
+        mu=0.01, K=0.0, batch_size=32, max_iter=2, min_iter=2,
+        max_pow_iter=200,
+        log_dir=str(tmp_path / "logs"), model_dir=str(tmp_path / "models"),
+    )
+
+    def make(**extra):
+        task = Task(model=ForestNet(hidden=10, num_classes=4))
+        return SpectralTrainer(task, sgd(0.05), **extra, **kw)
+
+    # --- static resolution table ---
+    assert make(eigensolver="auto", pow_iter_eps=1e-3,
+                header="A1").eigensolver == "lanczos_adaptive"
+    assert make(eigensolver="auto", pow_iter_eps=0.05, rand_init=True,
+                header="A2").eigensolver == "lanczos_adaptive"
+    assert make(eigensolver="auto", pow_iter_eps=0.05,
+                header="A3").eigensolver == "power"
+    assert make(eigensolver="auto", pow_iter_eps=1e-3, lobpcg=True,
+                header="A4").eigensolver == "power"
+    assert make(eigensolver="auto", pow_iter_eps=1e-3,
+                pow_iter_momentum=0.9, header="A5").eigensolver == "power"
+    # eps-scaled Krylov depth cap: clip(2*ceil(log10(1/eps))+2, 4, 16)
+    assert make(eigensolver="auto", pow_iter_eps=1e-3,
+                header="A6").lanczos_m == 8
+    assert make(eigensolver="auto", pow_iter_eps=0.05, rand_init=True,
+                header="A7").lanczos_m == 6  # ceil(log10(20))=2 -> 2*2+2
+    assert make(eigensolver="auto", pow_iter_eps=0.5, rand_init=True,
+                header="A7b").lanczos_m == 4  # floor of the clip
+    assert make(eigensolver="lanczos", header="A8").lanczos_m == 16
+
+    # --- trajectory: auto (-> adaptive Krylov) vs power at tight eps ---
+    def run_one(header, **extra):
+        tr = make(header=header, pow_iter_eps=1e-6, **extra)
+        tr.train(train_loader=ArrayLoader(x, y, 32, shuffle=False))
+        return tr
+
+    plain = run_one("AUTP")
+    auto = run_one("AUTA", eigensolver="auto")
+    assert auto.eigensolver == "lanczos_adaptive"
+    assert np.isfinite(auto.rho) and auto.rho > 0
+    np.testing.assert_allclose(auto.rho, plain.rho, rtol=5e-2)
+
+    # --- discard protocol under the policy (opt.py:513-520): depth cap
+    # too small for the tolerance -> rho -1 and eigenvector reset ---
+    tr = make(header="AUTD", pow_iter_eps=1e-12, eigensolver="auto",
+              lanczos_m=2, ignore_bad_vals=True)
+    assert tr.eigensolver == "lanczos_adaptive" and tr.lanczos_m == 2
+    tr.train(train_loader=ArrayLoader(x, y, 32, shuffle=False))
+    assert float(tr.rho) == -1.0
+
+
 def test_spectrum_test_lanczos_method(tmp_path, data):
     """spectrum_test(method='lanczos') agrees with the block-power
     method on the leading eigenvalue per batch, writes the same CSV
