@@ -94,27 +94,59 @@ def usps_hvps_per_sec() -> float:
     return 1200 / max(times[1600] - times[400], 1e-9)
 
 
+def _run_bounded(cmd, timeout_s, tag):
+    """Run one bench subprocess with a wall-clock bound; return its
+    parsed JSON line or None.  On ANY failure the child's stage markers
+    (bench_spectral_step._mark lines on stderr) are surfaced on OUR
+    stderr, so a fallback-to-recorded is diagnosable from the driver
+    log alone — r03 shipped recorded values for its two flagship keys
+    with no trace of why."""
+    import subprocess
+    import sys
+
+    err_tail = ""
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout_s)
+        err_tail = (out.stderr or "")[-2000:]
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        print(f"# {tag}: no JSON from subprocess (rc={out.returncode}); "
+              f"stderr tail:\n{err_tail}", file=sys.stderr, flush=True)
+    except subprocess.TimeoutExpired as e:
+        err_tail = ((e.stderr.decode(errors="replace") if e.stderr else "")
+                    )[-2000:]
+        print(f"# {tag}: timed out after {timeout_s}s; stderr tail:\n"
+              f"{err_tail}", file=sys.stderr, flush=True)
+    except Exception as e:  # pragma: no cover - subprocess plumbing
+        print(f"# {tag}: subprocess failed: {e}", file=sys.stderr,
+              flush=True)
+    return None
+
+
 def measure_s224_bounded(budget_s: int = 900):
     """DenseNet121@224px spectral step, in a BOUNDED subprocess.
 
     The 224px step program's cold compile is ~12-28 min on the tunneled
-    chip and can exceed the driver's whole bench budget; measuring it in
-    a child with a timeout keeps the bench line deliverable either way
-    (keys fall back to the last recorded measurement on timeout).  The
-    compiled executable persists in the repo-local XLA cache
-    (.xla_cache/ — a ~300 MB entry that survives environment resets with
-    the working tree), so after the one cold compile a fresh process
-    completes the whole measurement in ~8 min (measured 2026-08-18:
-    501 s cache-hit end-to-end vs ~19 min cold).  Must run BEFORE the
-    parent touches the TPU: the tunneled chip serves one client at a
-    time, so the child gets exclusive access and exits before the
-    parent's first device op."""
+    chip and can exceed any one attempt's budget; the compiled
+    executable persists in the repo-local XLA cache (.xla_cache/ — a
+    ~300 MB entry), so the stage SELF-HEALS a cold cache by retrying
+    once: attempt 1 pays the compile (XLA writes the cache entry even
+    when the measuring process is killed right after compilation;
+    verified 2026-08-19 — a 900 s-killed cold run left a cache entry
+    the immediate rerun loaded in ~190 s and measured live in ~500 s
+    total).  Attempt budgets: OWB_BENCH_S224_BUDGET per attempt
+    (default 900 s), so the stage's worst case is 2x that plus the
+    retry's measurement.  Must run BEFORE the parent touches the TPU:
+    the tunneled chip serves one client at a time, so the child gets
+    exclusive access and exits before the parent's first device op."""
     import os
-    import subprocess
     import sys
 
     here = os.path.dirname(os.path.abspath(__file__))
     sidecar = os.path.join(here, "benchmarks", "last_s224.json")
+    seed_fixture = os.path.join(here, "benchmarks", "s224_seed.json")
     budget_s = int(os.environ.get("OWB_BENCH_S224_BUDGET", budget_s))
     cmd = [
         sys.executable,
@@ -127,12 +159,14 @@ def measure_s224_bounded(budget_s: int = 900):
     # config), so alongside today's live number the sidecar carries the
     # best previously completed one — monotone, never synthetic
     prev_best = {}
-    if os.path.exists(sidecar):
+    for prior in (sidecar, seed_fixture):
+        if not os.path.exists(prior):
+            continue
         # a truncated/corrupt sidecar (killed mid-write) must degrade to
         # "no prior measurement", never crash the bench before the live
         # run that would rewrite it
         try:
-            with open(sidecar) as fh:
+            with open(prior) as fh:
                 prev = json.load(fh)
             prev_best = {
                 k: prev[k]
@@ -149,37 +183,41 @@ def measure_s224_bounded(budget_s: int = 900):
                     "best_examples_per_sec": prev.get("examples_per_sec"),
                     "best_mfu_pct": prev.get("mfu_pct_bf16_peak"),
                 }
+            break
         except (json.JSONDecodeError, OSError, ValueError):
             prev_best = {}
-    try:
-        out = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=budget_s)
-        for line in reversed(out.stdout.strip().splitlines()):
-            if line.startswith("{"):
-                res = json.loads(line)
-                res["s224_source"] = "live"
-                res.update(prev_best)
-                if res["steps_per_sec"] > res.get("best_steps_per_sec", 0.0):
-                    res["best_steps_per_sec"] = res["steps_per_sec"]
-                    res["best_examples_per_sec"] = res["examples_per_sec"]
-                    res["best_mfu_pct"] = res["mfu_pct_bf16_peak"]
-                with open(sidecar, "w") as fh:
-                    json.dump(res, fh)
-                return res
-    except (subprocess.TimeoutExpired, json.JSONDecodeError):
-        pass
-    except Exception as e:  # pragma: no cover - subprocess plumbing
-        print(f"# s224 subprocess failed: {e}", file=sys.stderr, flush=True)
-    # the one case left that exceeds the budget is a COLD cache (fresh
-    # checkout without .xla_cache — the compile alone is ~12-28 min):
-    # fall back to the last completed measurement on this same chip,
-    # labeled as recorded rather than silently live
-    if os.path.exists(sidecar):
+    res = None
+    for attempt in (1, 2):
+        res = _run_bounded(cmd, budget_s, f"s224 attempt {attempt}")
+        if res is not None:
+            res["s224_attempts"] = attempt
+            break
+        # attempt 1 usually dies on a COLD cache mid/just-after compile;
+        # the cache entry it wrote makes attempt 2 a warm ~500 s measure
+    if res is not None:
+        res["s224_source"] = "live"
+        res.update(prev_best)
+        if res["steps_per_sec"] > res.get("best_steps_per_sec", 0.0):
+            res["best_steps_per_sec"] = res["steps_per_sec"]
+            res["best_examples_per_sec"] = res["examples_per_sec"]
+            res["best_mfu_pct"] = res["mfu_pct_bf16_peak"]
         try:
-            with open(sidecar) as fh:
+            with open(sidecar, "w") as fh:
+                json.dump(res, fh)
+        except OSError:
+            pass
+        return res
+    # both attempts failed: fall back to the last completed measurement
+    # on this same chip (gitignored live sidecar, then the committed
+    # seed fixture), labeled as recorded rather than silently live
+    for fallback in (sidecar, seed_fixture):
+        if not os.path.exists(fallback):
+            continue
+        try:
+            with open(fallback) as fh:
                 res = json.load(fh)
         except (json.JSONDecodeError, OSError, ValueError):
-            return None
+            continue
         res["s224_source"] = "recorded"
         # pre-best-schema sidecars lack the best_* keys; carry over the
         # best derived from the sidecar's own live entry above
@@ -188,61 +226,110 @@ def measure_s224_bounded(budget_s: int = 900):
     return None
 
 
-def measure_eigensolve_bounded(budget_s: int = 300):
-    """Reference-protocol eigensolve speedup, in a BOUNDED subprocess.
+def measure_eigensolve_bounded(leg_budget_s: int = 480):
+    """Reference-protocol eigensolve comparison, in BOUNDED subprocesses.
 
     The regime is the reference's own: its default ``pow_iter_eps=1e-3``
     and the CXR flagship's ``rand_init=True`` (fresh eigenvector every
     batch, params/chestxray_best_reg.py) — the many-power-iterations
-    case where the eigensolve dominates the step.  Two full spectral
-    train-step measurements on dn40/b128/bf16+remat+defer: plain power
-    iteration (the reference's protocol, opt.py:418-533) vs the Lanczos
-    m=8 Krylov solve (ops/eigen.py lanczos_dominant — a capability the
-    reference does not have; RESULTS.md round-3 eigensolve tables).
+    case where the eigensolve dominates the step.  Three full spectral
+    train-step measurements on dn40/b128/bf16+remat+defer:
+
+      * ``power``  — plain power iteration (the reference's protocol,
+        opt.py:418-533): the policy-OFF baseline;
+      * ``lanczos`` — the fixed m=8 Krylov solve (ops/eigen.py
+        lanczos_dominant, a capability the reference does not have);
+      * ``auto``   — the SHIPPED ``eigensolver='auto'`` policy (what
+        the best_reg config family actually runs: early-exit Krylov,
+        eps-scaled depth cap): the policy-ON number.
+
+    Each leg gets its OWN wall-clock budget (``OWB_BENCH_EIG_BUDGET``
+    per leg, default 480 s — r03's single shared 300 s budget killed
+    the power leg mid-measure and shipped a recorded value), so the
+    stage bound is 3x the leg budget.  Legs are ratio keys measured in
+    the SAME session, so VM load variance cancels in the speedup.
     Subprocesses run BEFORE the parent touches the TPU (one tunneled
-    client at a time) and fall back to the last recorded measurement on
-    timeout (sidecar: benchmarks/last_eigsolve.json)."""
+    client at a time).  Fallback order on failure: the gitignored live
+    sidecar (benchmarks/last_eigsolve.json) from a previous run on this
+    machine, then the committed seed fixture
+    (benchmarks/eigsolve_seed.json)."""
     import os
-    import subprocess
     import sys
 
     here = os.path.dirname(os.path.abspath(__file__))
     sidecar = os.path.join(here, "benchmarks", "last_eigsolve.json")
-    budget_s = int(os.environ.get("OWB_BENCH_EIG_BUDGET", budget_s))
+    seed_fixture = os.path.join(here, "benchmarks", "eigsolve_seed.json")
+    leg_budget_s = int(os.environ.get("OWB_BENCH_EIG_BUDGET", leg_budget_s))
     base = [
         sys.executable,
         os.path.join(here, "benchmarks", "bench_spectral_step.py"),
         "--model", "dn40", "--batch", "128",
         "--remat", "--defer", "--rand_init", "--pow_eps", "1e-3",
     ]
+    legs = (("power", []), ("lanczos", ["--lanczos", "8"]),
+            ("auto", ["--auto"]))
     res = {}
-    try:
-        for name, extra in (("power", []), ("lanczos", ["--lanczos", "8"])):
-            out = subprocess.run(base + extra, capture_output=True,
-                                 text=True, timeout=budget_s)
-            for line in reversed(out.stdout.strip().splitlines()):
-                if line.startswith("{"):
-                    m = json.loads(line)
-                    res[f"{name}_steps_per_sec"] = m["steps_per_sec"]
-                    break
-            else:
-                raise RuntimeError(f"no JSON line from {name} run")
+    for name, extra in legs:
+        m = _run_bounded(base + extra, leg_budget_s, f"eigensolve {name}")
+        if m is None:
+            res = None
+            break
+        res[f"{name}_steps_per_sec"] = m["steps_per_sec"]
+    if res is not None:
         res["eigsolve_source"] = "live"
-        with open(sidecar, "w") as fh:
-            json.dump(res, fh)
-        return res
-    except Exception as e:
-        print(f"# eigensolve stage fell back ({e})", file=sys.stderr,
-              flush=True)
-    if os.path.exists(sidecar):
         try:
-            with open(sidecar) as fh:
-                res = json.load(fh)
-            res["eigsolve_source"] = "recorded"
-            return res
-        except (json.JSONDecodeError, OSError, ValueError):
-            return None
+            with open(sidecar, "w") as fh:
+                json.dump(res, fh)
+        except OSError:
+            pass
+        return res
+    for fallback in (sidecar, seed_fixture):
+        if os.path.exists(fallback):
+            try:
+                with open(fallback) as fh:
+                    res = json.load(fh)
+                res["eigsolve_source"] = "recorded"
+                return res
+            except (json.JSONDecodeError, OSError, ValueError):
+                continue
     return None
+
+
+def _session_meta():
+    """Chip-session metadata stamped into every bench line, so numbers
+    from different rounds are comparable (or visibly not: the shared
+    tunneled VM's load varies up to ~2x between sessions)."""
+    import datetime
+
+    meta = {
+        "utc": datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        ),
+    }
+    try:
+        d = jax.devices()[0]
+        meta["device"] = f"{d.device_kind} ({d.platform})"
+        meta["jax"] = jax.__version__
+    except Exception:
+        pass
+    return meta
+
+
+def _median3(values):
+    """Median + spread of a small list of repeated measurements.
+
+    The tunneled VM's load varies up to ~2x run-to-run (RESULTS.md),
+    so every absolute throughput key carries {median, min, max} of 3
+    same-session repeats — a single draw is not a measurement
+    protocol.  Ratio keys (eigensolve speedups) instead cancel the
+    variance by measuring both legs in the same session."""
+    vs = sorted(float(v) for v in values)
+    return {
+        "value": vs[len(vs) // 2],
+        "min": vs[0],
+        "max": vs[-1],
+        "n_reps": len(vs),
+    }
 
 
 def main() -> None:
@@ -265,12 +352,24 @@ def main() -> None:
     from benchmarks.bench_densenet_hvp import measure
     from benchmarks.bench_spectral_step import measure as measure_step
 
+    # 3 same-session repeats per absolute key (dispersion protocol —
+    # the spectral_steps_per_sec_dn40_defer key moved 28.1 -> 17.7
+    # between r02 and r03 with nothing but VM load to blame; median +
+    # min/max makes that attributable from the JSON alone)
     _stage("dn40_hvp")
-    dn = measure(batch=BATCH, dtype=jnp.bfloat16, remat=True)
+    dn_reps = [measure(batch=BATCH, dtype=jnp.bfloat16, remat=True)
+               for _ in range(3)]
+    dn_disp = _median3([r["hvps_per_sec"] for r in dn_reps])
+    dn = next(r for r in dn_reps
+              if r["hvps_per_sec"] == dn_disp["value"])
     # end-to-end regularized training: full train_step (power iter +
     # vGHv + SGD) with the defer_metrics epoch protocol
     _stage("dn40_sstep")
-    sstep = measure_step("dn40", batch=BATCH, remat=True, defer=True)
+    sstep_reps = [
+        measure_step("dn40", batch=BATCH, remat=True, defer=True)
+        for _ in range(3)
+    ]
+    sstep_disp = _median3([r["steps_per_sec"] for r in sstep_reps])
     # reference-scale heavy workload: DenseNet121 at the CXR pipeline's
     # 224px (dcnn.py:86-89), end-to-end spectral step at the swept
     # sweet spot (RESULTS.md round-3 224px table)
@@ -305,9 +404,11 @@ def main() -> None:
                 "unit": "curvature examples/sec/chip",
                 "vs_baseline": round(examples_per_sec / baseline_examples, 1),
                 "hvps_per_sec": dn["hvps_per_sec"],
+                "hvps_per_sec_dispersion": dn_disp,
                 "tflops_per_sec": dn["tflops_per_sec"],
                 "mfu_pct_bf16_peak": dn["mfu_pct_bf16_peak"],
-                "spectral_steps_per_sec_dn40_defer": sstep["steps_per_sec"],
+                "spectral_steps_per_sec_dn40_defer": sstep_disp["value"],
+                "spectral_steps_per_sec_dn40_defer_dispersion": sstep_disp,
                 "epoch_wallclock_s_cifar50k": epoch["epoch_wallclock_s"],
                 "epoch_speedup_vs_torch_cpu": epoch["speedup_vs_torch_cpu"],
                 "spectral_steps_per_sec_dn121_224":
@@ -324,20 +425,33 @@ def main() -> None:
                 "mfu_pct_dn121_224_best":
                     s224.get("best_mfu_pct") if s224 else None,
                 # reference-protocol regime (pow_iter_eps=1e-3 +
-                # rand_init): plain power iteration vs the Lanczos m=8
-                # Krylov eigensolve the reference lacks (RESULTS.md)
+                # rand_init): plain power iteration (policy OFF) vs the
+                # fixed m=8 Lanczos solve vs the SHIPPED
+                # eigensolver='auto' policy (what the best_reg configs
+                # run) — all same-session, so the ratios cancel VM load
                 "spectral_steps_per_sec_dn40_refproto_power":
                     eig.get("power_steps_per_sec") if eig else None,
                 "spectral_steps_per_sec_dn40_refproto_lanczos":
                     eig.get("lanczos_steps_per_sec") if eig else None,
+                "spectral_steps_per_sec_dn40_refproto_auto":
+                    eig.get("auto_steps_per_sec") if eig else None,
                 "eigensolve_speedup_lanczos": (
                     round(eig["lanczos_steps_per_sec"]
                           / eig["power_steps_per_sec"], 2)
                     if eig and eig.get("power_steps_per_sec")
                     and eig.get("lanczos_steps_per_sec") else None
                 ),
+                "eigensolve_speedup_auto_policy": (
+                    round(eig["auto_steps_per_sec"]
+                          / eig["power_steps_per_sec"], 2)
+                    if eig and eig.get("power_steps_per_sec")
+                    and eig.get("auto_steps_per_sec") else None
+                ),
                 "eigsolve_source":
                     eig.get("eigsolve_source") if eig else None,
+                "s224_attempts":
+                    s224.get("s224_attempts") if s224 else None,
+                "session": _session_meta(),
                 "usps_hvps_per_sec": round(usps, 1),
                 "usps_vs_torch_cpu": round(
                     usps / TORCH_CPU_USPS_BASELINE_HVPS_PER_SEC, 1

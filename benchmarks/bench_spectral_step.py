@@ -26,11 +26,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+_T0 = time.perf_counter()
+
+
+def _mark(msg: str) -> None:
+    """Progress marker on stderr — the parent bench (bench.py) captures
+    and surfaces these when a bounded subprocess times out or dies, so
+    a fallback-to-recorded is diagnosable from the driver log alone."""
+    print(f"# sstep t={time.perf_counter() - _T0:.0f}s {msg}",
+          file=sys.stderr, flush=True)
+
 
 def build_trainer(model_name, batch, remat, defer=False, px=None,
                   hvp_micro=0, scan_steps=1, donate=False,
                   rand_init=False, momentum=None, pow_eps=0.05,
-                  lanczos=0,
+                  lanczos=0, auto_solver=False,
                   workdir="/tmp/bench_sstep"):
     import jax.numpy as jnp
 
@@ -74,27 +84,30 @@ def build_trainer(model_name, batch, remat, defer=False, px=None,
         remat=remat, defer_metrics=defer, hvp_micro=hvp_micro,
         scan_steps=scan_steps, donate=donate,
         rand_init=rand_init, pow_iter_momentum=momentum,
-        eigensolver="lanczos" if lanczos else "power",
-        lanczos_m=lanczos or 16,
+        eigensolver=("auto" if auto_solver
+                     else "lanczos" if lanczos else "power"),
+        lanczos_m=(None if auto_solver else lanczos or 16),
         header="BENCH_SSTEP", seed=0,
         log_dir=os.path.join(workdir, "logs"),
         model_dir=os.path.join(workdir, "models"),
     )
     batches = list(loader)
+    _mark("init_state (first device op: opens TPU client, jits init)")
     tr.init_state(batches[0])
+    _mark("init_state done")
     return tr, batches
 
 
 def measure(model_name="dn40", batch=128, remat=True, defer=False,
             px=None, hvp_micro=0, scan_steps=1, donate=False,
             rand_init=False, momentum=None, pow_eps=0.05,
-            lanczos=0,
+            lanczos=0, auto_solver=False,
             n_small=5, n_large=20):
     tr, batches = build_trainer(model_name, batch, remat, defer, px=px,
                                 hvp_micro=hvp_micro, scan_steps=scan_steps,
                                 donate=donate, rand_init=rand_init,
                                 momentum=momentum, pow_eps=pow_eps,
-                                lanczos=lanczos)
+                                lanczos=lanczos, auto_solver=auto_solver)
 
     if scan_steps > 1:
         import jax.numpy as jnp
@@ -126,6 +139,7 @@ def measure(model_name="dn40", batch=128, remat=True, defer=False,
             if defer:
                 np.asarray(m["rho"])
 
+    _mark("warm/compile the step program (cold: minutes; cached: secs)")
     if scan_steps > 1:
         # time whole chunks only (no remainder re-traces mid-timing)
         n_small = max(scan_steps, (n_small // scan_steps) * scan_steps)
@@ -133,6 +147,7 @@ def measure(model_name="dn40", batch=128, remat=True, defer=False,
         run(scan_steps)  # warm/compile the chunk-length program
     else:
         run(3)  # warm/compile
+    _mark("compile done; timing loops")
     times = {}
     for n in (n_small, n_large):
         best = float("inf")
@@ -141,6 +156,7 @@ def measure(model_name="dn40", batch=128, remat=True, defer=False,
             run(n)
             best = min(best, time.perf_counter() - t0)
         times[n] = best
+        _mark(f"timed n={n}: best {best:.1f}s")
     steps = (n_large - n_small) / max(times[n_large] - times[n_small], 1e-9)
 
     # end-to-end MFU via XLA's cost model: one spectral step =
@@ -178,7 +194,8 @@ def measure(model_name="dn40", batch=128, remat=True, defer=False,
         model=model_name, batch=batch, remat=remat, defer=defer,
         px=px, hvp_micro=hvp_micro, scan_steps=scan_steps, donate=donate,
         rand_init=rand_init, momentum=momentum, pow_eps=pow_eps,
-        lanczos=lanczos,
+        lanczos=lanczos, auto_solver=auto_solver,
+        eigensolver=tr.eigensolver, lanczos_m=tr.lanczos_m,
         steps_per_sec=round(steps, 4),
         examples_per_sec=round(steps * batch, 1),
         mean_pow_iters=pow_iters,
@@ -207,6 +224,10 @@ if __name__ == "__main__":
     ap.add_argument("--pow_eps", type=float, default=0.05,
                     help="pow_iter_eps (reference default 1e-3; the "
                          "cifar recipe's 0.05 is the bench default)")
+    ap.add_argument("--auto", action="store_true", dest="auto_solver",
+                    help="eigensolver='auto' (the shipped policy: "
+                         "early-exit Krylov under rand_init / tight "
+                         "eps, eps-scaled depth cap)")
     ap.add_argument("--lanczos", type=int, default=0,
                     help="use the m-step Lanczos eigensolve instead of "
                          "power iteration (ops/eigen.py lanczos_dominant)")
@@ -229,5 +250,6 @@ if __name__ == "__main__":
                              momentum=args.momentum,
                              pow_eps=args.pow_eps,
                              lanczos=args.lanczos,
+                             auto_solver=args.auto_solver,
                              n_small=args.n_small,
                              n_large=args.n_large)), flush=True)

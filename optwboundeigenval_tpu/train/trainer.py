@@ -371,52 +371,128 @@ class SpectralTrainer:
         return {k: jnp.asarray(v) for k, v in stacked.items()}
 
     def _put_eval_batch(self, batch):
-        """Batch placement for evaluation (test_model).
-
-        Single-process: identical to ``_put_batch`` (data-sharded over
-        the mesh).  Multi-process: evaluation fetches per-example
-        OUTPUTS to the host (AUC/F1/confusion need the full arrays,
-        opt.py:912-1039), and a data-sharded global array is not
-        host-addressable — so eval batches are fully REPLICATED instead
-        (each process passes the identical full validation batch, the
-        SPMD program runs the same eval everywhere, and the replicated
-        outputs fetch cleanly).  Eval is a tiny fraction of step time;
-        sharded multi-host eval is a future optimization."""
-        if self.mesh is not None and jax.process_count() > 1:
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            return meshlib.replicate(batch, self.mesh)
+        """Batch placement for evaluation (test_model), single-process
+        path: identical to ``_put_batch`` (data-sharded over the mesh).
+        Multi-process evaluation never reaches this — it goes through
+        :meth:`_eval_outputs_sharded` instead."""
         return self._put_batch(batch)
 
-    def _globalize_host_shards(self, loader):
-        """Eval adapter for host-sharded loaders under multi-process.
+    def _eval_is_contributor(self) -> bool:
+        """Whether this process contributes eval rows for its data
+        shard (multi-process, host-sharded loaders).
 
-        ``_put_eval_batch`` replicates each process's batch, which is
-        only correct when every process holds IDENTICAL data; a loader
-        built with ``host_shard`` feeds each process a different local
-        shard (e.g. ``train()``'s final train-set eval on the training
-        loader).  This generator allgathers each local batch to every
-        host and concatenates the shards, so all processes evaluate the
-        same GLOBAL batch and log the same global metrics.  Exact:
-        weighted means and AUC are order-invariant and padded rows
-        carry ``w = 0``."""
+        Under a dp x tp mesh whose ``model`` axis spans processes,
+        several processes hold the SAME data-axis coordinate (their
+        loaders feed identical host shards, matching
+        ``shard_batch``'s replicate-along-model placement); only the
+        lowest process index at each data coordinate contributes real
+        rows to the output allgather — the replicas send ``w = 0`` so
+        no example is double-counted.  Requires each process's devices
+        to sit at a single data coordinate (true for contiguous
+        ``make_mesh`` layouts)."""
+        if self.mesh is None or jax.process_count() == 1:
+            return True
+        pid = jax.process_index()
+        devs = self.mesh.devices
+        data_axis = list(self.mesh.axis_names).index("data")
+        grid = np.moveaxis(devs, data_axis, 0)
+        grid = grid.reshape(grid.shape[0], -1)
+        my_coords = set()
+        owners = {}
+        for i in range(grid.shape[0]):
+            procs = {d.process_index for d in grid[i]}
+            owners[i] = min(procs)
+            if pid in procs:
+                my_coords.add(i)
+        if not my_coords:
+            return False
+        if len(my_coords) > 1:
+            # devices span several data coords: every row this process
+            # holds is unique to it, no tp replica to dedupe against
+            return True
+        return owners[my_coords.pop()] == pid
+
+    def _eval_outputs_sharded(self, loader, crops: bool = False):
+        """Data-sharded multi-process evaluation (SURVEY §2.9).
+
+        Each process runs the forward pass on its LOCAL rows only,
+        with a process-local jit (params/model_state are replicated
+        over the global mesh, hence host-addressable — fetched once
+        per call), and only per-example OUTPUTS (logits: C floats per
+        example), labels, and weights cross hosts.  Total forward
+        compute is O(dataset) instead of the replicate-everything
+        placement's O(hosts x dataset), and the allgather traffic
+        drops from input pixels to logits.
+
+        Local rows: a ``host_shard`` loader's batches are already this
+        process's shard (tp replicas are deduped via
+        :meth:`_eval_is_contributor`); for an identical-data loader
+        every process takes its own equal-size stripe of each batch
+        (tail stripes are clamped + ``w = 0`` padded so allgather
+        shapes match).  Padded rows are dropped host-side after the
+        gather — metric math downstream is order-invariant (weighted
+        means, accuracy, AUC, micro-F1) and identical on every host.
+        """
         from jax.experimental import multihost_utils
 
+        nproc = jax.process_count()
         counts = np.asarray(
             multihost_utils.process_allgather(np.asarray(len(loader)))
         )
         if int(counts.min()) != int(counts.max()):
             raise ValueError(
-                f"host shards have unequal batch counts {counts.tolist()}; "
-                "pad the dataset so every process yields the same number "
-                "of (padded) batches"
+                f"eval loaders yield unequal batch counts {counts.tolist()} "
+                "across processes; pad the dataset so every process yields "
+                "the same number of (padded) batches"
             )
+        sharded = getattr(loader, "host_shard", None) is not None
+        contributes = self._eval_is_contributor() if sharded else True
+        params = jax.tree.map(np.asarray, self.params)
+        model_state = jax.tree.map(np.asarray, self.model_state)
+        predict_local = self._get(
+            "predict_local",
+            lambda: jax.jit(
+                lambda p, ms, b: self.task.predict(p, ms, b)
+            ),
+        )
+        pid = jax.process_index()
         for data in loader:
+            xb = np.asarray(data["x"])
+            yb = np.asarray(data["y"])
+            wb = np.asarray(data["w"], np.float32)
+            if not sharded:
+                # identical-data loader: evaluate this process's stripe
+                chunk = -(-xb.shape[0] // nproc)
+                idx = np.arange(pid * chunk, (pid + 1) * chunk)
+                valid = idx < xb.shape[0]
+                idx = np.minimum(idx, xb.shape[0] - 1)
+                xb, yb = xb[idx], yb[idx]
+                wb = wb[idx] * valid
+            if not contributes:
+                wb = np.zeros_like(wb)
+            if crops and xb.ndim == 5:
+                bc, nc = xb.shape[0], xb.shape[1]
+                ops = predict_local(
+                    params, model_state,
+                    {"x": xb.reshape((-1,) + xb.shape[2:])},
+                )
+                ops = np.asarray(ops).reshape(bc, nc, -1).mean(axis=1)
+            else:
+                ops = np.asarray(
+                    predict_local(params, model_state, {"x": xb})
+                )
             g = multihost_utils.process_allgather(
-                {k: np.asarray(v) for k, v in data.items()}
+                {"ops": np.asarray(ops, np.float32), "y": yb, "w": wb}
             )
-            yield {
+            flat = {
                 k: np.asarray(v).reshape((-1,) + np.asarray(v).shape[2:])
                 for k, v in g.items()
+            }
+            keep = flat["w"] > 0
+            yield {
+                "ops": flat["ops"][keep],
+                "y": flat["y"][keep],
+                "w": np.ones(int(keep.sum()), np.float32),
             }
 
     # ------------------------------------------------------------------
@@ -1188,38 +1264,38 @@ class SpectralTrainer:
         if other_classes is not None and isinstance(other_classes, int):
             other_classes = [other_classes]
 
-        if (
-            self.mesh is not None
-            and jax.process_count() > 1
-            and getattr(loader, "host_shard", None) is not None
-        ):
-            # host-sharded loader: every process holds different local
-            # data — allgather to the global batch before the
-            # replicate-based eval placement (identical-data contract)
-            loader = self._globalize_host_shards(loader)
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-process: forward passes run on each process's local
+            # rows only; per-example OUTPUTS are allgathered (never the
+            # input pixels) and padding is already dropped
+            loader = self._eval_outputs_sharded(loader, crops=crops)
 
         f_list, acc_list, f1_list, sizes = [], [], [], []
         outputs_all, labels_all, oc = [], [], []
         for data in loader:
-            batch = self._put_eval_batch(data)
             w = np.asarray(data["w"])
             nreal = int(np.sum(w > 0))
 
-            xb = batch["x"]
-            crp = False
-            if crops and xb.ndim == 5:
-                # TenCrop averaging: (B, ncrops, H, W, C) -> mean logits
-                crp = True
-                bc, nc = xb.shape[0], xb.shape[1]
-                flat = {"x": xb.reshape((-1,) + xb.shape[2:]), "y": batch["y"],
-                        "w": batch["w"]}
-                ops = predict_step(
-                    self.params, self.model_state, flat
-                ).reshape(bc, nc, -1).mean(axis=1)
+            if "ops" in data:
+                # precomputed by _eval_outputs_sharded (all rows real)
+                ops = np.asarray(data["ops"])
             else:
-                ops = predict_step(self.params, self.model_state, batch)
+                batch = self._put_eval_batch(data)
+                xb = batch["x"]
+                if crops and xb.ndim == 5:
+                    # TenCrop averaging: (B, ncrops, H, W, C) -> mean
+                    # logits
+                    bc, nc = xb.shape[0], xb.shape[1]
+                    flat = {"x": xb.reshape((-1,) + xb.shape[2:]),
+                            "y": batch["y"], "w": batch["w"]}
+                    ops = predict_step(
+                        self.params, self.model_state, flat
+                    ).reshape(bc, nc, -1).mean(axis=1)
+                else:
+                    ops = predict_step(self.params, self.model_state, batch)
+                ops = np.asarray(ops)
 
-            ops = np.asarray(ops)[:nreal]
+            ops = ops[:nreal]
             target = np.asarray(data["y"])[:nreal]
             sizes.append(nreal)
 

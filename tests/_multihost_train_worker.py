@@ -68,7 +68,7 @@ workdir = os.path.dirname(outfile)
 
 def make_trainer(log_tag):
     # train shards per host; validation is replicated (every host passes
-    # the identical full batch — see trainer._put_eval_batch)
+    # evaluated as per-process stripes (trainer._eval_outputs_sharded)
     mesh = parallel.make_mesh()
     return SpectralTrainer(
         Task(model=ForestNet(hidden=8, num_classes=4)),
@@ -125,7 +125,7 @@ with open(tr2.log_file) as fh:
             rows.append([float(p) for p in parts])
 
 # global train-set eval THROUGH the host-sharded loader: exercises the
-# allgather eval adapter (trainer._globalize_host_shards) — each host
+# sharded-eval adapter (trainer._eval_outputs_sharded) — each host
 # holds a DIFFERENT local shard, so without the adapter each host would
 # silently report its own shard's metrics as the global ones
 trf, tracc, trf1 = tr2.test_model(loader=train_loader)

@@ -162,6 +162,17 @@ _BREADTH = {
     # drives are batch-psum'd — the m-step scan + reorth contractions
     # must reproduce single-device exactly under GSPMD
     "lanczos": dict(eigensolver="lanczos", lanczos_m=8),
+    # the adaptive early-exit Krylov solver behind eigensolver='auto'
+    # (rand_init forces the many-HVPs regime where it engages)
+    "lanczos_adaptive": dict(eigensolver="auto", rand_init=True,
+                             lanczos_m=8),
+    # buffer donation under GSPMD: aliased input/output shardings are
+    # exactly where silent copies (or stale aliased reads) sneak in —
+    # the 224px flagship config relies on donate
+    "donate": dict(donate=True),
+    # the flagship knob set (cxr 224px recipe: remat+defer+donate+scan)
+    "donate_scan": dict(donate=True, remat=True, defer_metrics=True,
+                        scan_steps=2),
 }
 
 
@@ -198,6 +209,53 @@ def test_mesh_path_matches_single_device(tmp_path, eight_devices, name):
     rb, _ = tree_ravel(b.params)
     np.testing.assert_allclose(
         np.asarray(ra), np.asarray(rb), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_flagship_knob_set_conv_model_on_mesh(tmp_path, eight_devices):
+    """The 224px flagship recipe's exact knob combination
+    (remat + donate + defer_metrics + scan, configs/_cxr_family.py) on
+    the REAL conv model family (BC-DenseNet w/ BatchNorm) at tiny
+    shapes, 8-device mesh vs single device: identical (f, rho, params).
+    GSPMD aliasing + donation over batch-stats pytrees is precisely
+    where silent copies / stale aliased reads would sneak in."""
+    from optwboundeigenval_tpu.models import DenseNet3
+
+    rng = np.random.default_rng(4)
+    # 32px floor: the reference topology ends in a fixed 8x8 avg_pool
+    # after two /2 transitions (densenet.py:139)
+    x = rng.normal(size=(64, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 4, size=64).astype(np.int32)
+    batches = list(ArrayLoader(x, y, batch_size=32))
+
+    def run(mesh):
+        task = Task(
+            model=DenseNet3(depth=10, growth_rate=4, num_classes=4),
+            has_batch_stats=True,
+        )
+        tr = SpectralTrainer(
+            task, sgd(0.05), mu=0.05, K=0.0, batch_size=32,
+            max_pow_iter=10, pow_iter_eps=1e-2, ignore_bad_vals=False,
+            remat=True, donate=True, defer_metrics=True, scan_steps=2,
+            header="FLAG", mesh=mesh, seed=7,
+            log_dir=str(tmp_path / "logs"),
+            model_dir=str(tmp_path / "models"),
+        )
+        tr.init_state(batches[0])
+        for _ in range(2):
+            tr.iter_epoch(batches)
+        return tr
+
+    a = run(None)
+    b = run(make_mesh())
+    # conv+BN f32: the 8-way batch psum reorders accumulation, so the
+    # tolerance is looser than the MLP rows' 2e-4 (measured drift ~2e-4)
+    np.testing.assert_allclose(a.f, b.f, rtol=1e-3)
+    np.testing.assert_allclose(a.rho, b.rho, rtol=1e-3, atol=1e-6)
+    ra, _ = tree_ravel(a.params)
+    rb, _ = tree_ravel(b.params)
+    np.testing.assert_allclose(
+        np.asarray(ra), np.asarray(rb), rtol=2e-3, atol=1e-4
     )
 
 
