@@ -132,9 +132,9 @@ class _PinnedRng:
         return v
 
 
-def _reference_train_rows(tmp_path):
-    """Single-process straight-through 3-epoch train() on the identical
-    global data (no mesh, no resume)."""
+def _reference_train_rows(tmp_path, max_iter=3):
+    """Single-process straight-through train() on the identical global
+    data (no mesh, no resume)."""
     x, y = make_classification(128, 10, 4, seed=7)
     xv, yv = make_classification(64, 10, 4, seed=8)
     tr = SpectralTrainer(
@@ -145,10 +145,10 @@ def _reference_train_rows(tmp_path):
         batch_size=32,
         max_pow_iter=50,
         pow_iter_eps=1e-4,
-        min_iter=3,
-        max_iter=3,
+        min_iter=max_iter,
+        max_iter=max_iter,
         seed=0,
-        header="MHT_REF",
+        header=f"MHT_REF{max_iter}",
         log_dir=str(tmp_path / "logs_tref"),
         model_dir=str(tmp_path / "models_tref"),
     )
@@ -234,6 +234,86 @@ def test_two_process_full_train_loop(tmp_path):
     np.testing.assert_allclose(
         results[0]["train_eval"], results[1]["train_eval"], rtol=1e-6
     )
+    x, y = make_classification(128, 10, 4, seed=7)
+    rf, racc, rf1 = ref_tr.test_model(loader=ArrayLoader(x, y, batch_size=32))
+    np.testing.assert_allclose(
+        results[0]["train_eval"], [rf, racc, rf1], rtol=2e-3, atol=1e-6
+    )
+
+
+_DPTP_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "_multihost_dptp_worker.py")
+
+
+def test_four_process_dp_tp_train_loop(tmp_path):
+    """4 jax.distributed processes (1 device each) on a data=2 x
+    model=2 mesh run the FULL train() loop — the model axis spans
+    processes, so the two processes of each data group feed identical
+    host shards.  TSV parity vs a single-process straight-through run,
+    identical rows on all 4 hosts, and the train-set eval through the
+    host-sharded loader must dedupe the tp replicas (every example
+    counted once — trainer._eval_is_contributor)."""
+    nproc = 4
+    port = _free_port()
+    outs = [str(tmp_path / f"dout{i}.json") for i in range(nproc)]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["JAX_DISABLE_COMPILATION_CACHE"] = "1"
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _DPTP_WORKER, str(i), str(nproc),
+             f"127.0.0.1:{port}", outs[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(nproc)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"dptp worker failed:\n{log[-3000:]}"
+
+    results = []
+    for o in outs:
+        with open(o) as fh:
+            results.append(json.load(fh))
+
+    # mesh geometry: processes (0,1) share data coord 0, (2,3) coord 1
+    assert [r["data_coord"] for r in results] == [0, 0, 1, 1]
+
+    rows = [r["rows"] for r in results]
+    assert all(len(r) == 2 for r in rows)  # 2 TSV epoch rows
+    # (a) all four hosts observe the identical global computation
+    for other in rows[1:]:
+        np.testing.assert_allclose(rows[0], other, rtol=1e-6)
+    assert len({r["best_iter"] for r in results}) == 1
+
+    # (b) parity with the single-process straight-through run
+    ref_rows, ref_tr = _reference_train_rows(tmp_path, max_iter=2)
+    for rm, rr in zip(rows[0], ref_rows):
+        assert rm[0] == rr[0]  # epoch index
+        np.testing.assert_allclose(rm[1], rr[1], rtol=2e-3)  # f
+        np.testing.assert_allclose(rm[2], rr[2], rtol=5e-3, atol=1e-5)
+        np.testing.assert_allclose(rm[5], rr[5], rtol=1e-6)  # val_acc
+
+    # (c) tp-deduped sharded eval: the global train-set metric matches
+    # the single-process eval over the full dataset — if replicas
+    # double-counted, the loss/acc would still match (duplication-
+    # invariant means) but identical values on all hosts + the exact
+    # reference value pin the path end-to-end
+    for r in results[1:]:
+        np.testing.assert_allclose(
+            results[0]["train_eval"], r["train_eval"], rtol=1e-6
+        )
     x, y = make_classification(128, 10, 4, seed=7)
     rf, racc, rf1 = ref_tr.test_model(loader=ArrayLoader(x, y, batch_size=32))
     np.testing.assert_allclose(
