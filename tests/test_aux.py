@@ -324,3 +324,42 @@ def test_resume_preserves_cov_stop_window(tmp_path):
     trC._np_rng = _PinnedEpochRng(start=2)
     trC.train(train_loader=loaderB)
     assert trC.i == stop_epoch
+
+
+def test_parity_anchor_alignment(tmp_path):
+    """f64-anchor row alignment (benchmarks/parity/run_parity.py
+    load_anchor): the reference dumps nb+1 states per epoch (per-batch
+    comp_g + the pinned epoch-end comp_g, opt.py:618/:740) while the
+    jax side dumps nb (its epoch-end rho runs through a separate jitted
+    path) — batch row k of epoch e must map to jax dump e*nb+k and ref
+    dump e*(nb+1)+k."""
+    import json
+
+    from benchmarks.parity import run_parity
+
+    epochs, nb = 2, 3
+    # jax own: value encodes (epoch, batch-slot) as e*100+k
+    j_own = [e * 100 + k for e in range(epochs) for k in range(nb)]
+    # ref-order series (nb+1 per epoch): batch slots then epoch-end 99
+    t_own = [e * 100 + k for e in range(epochs)
+             for k in list(range(nb)) + [99]]
+    j_at_ref = [v + 0.5 for v in t_own]
+    with open(tmp_path / "anchor_jax.json", "w") as fh:
+        json.dump({"rho_j64_own": j_own, "rho_j64_at_ref": j_at_ref}, fh)
+    with open(tmp_path / "anchor_torch.json", "w") as fh:
+        json.dump({"rho_t64_own": t_own}, fh)
+
+    orig = run_parity.CONFIGS
+    run_parity.CONFIGS = dict(orig, mini={"f64_anchor": True,
+                                          "epochs": epochs})
+    try:
+        rows = run_parity.load_anchor("mini", str(tmp_path))
+    finally:
+        run_parity.CONFIGS = orig
+    assert len(rows) == epochs * nb
+    for e in range(epochs):
+        for k in range(nb):
+            r = rows[e * nb + k]
+            assert r["j64_own"] == e * 100 + k
+            assert r["t64_own"] == e * 100 + k  # epoch-end rows skipped
+            assert r["j64_at_ref"] == e * 100 + k + 0.5
