@@ -60,7 +60,12 @@ def dn40_conv_shapes():
     return shapes
 
 
-def measure_primitive(fn, args, n_small=50, n_large=200):
+def measure_primitive(fn, args, target_s=1.5):
+    """Per-call time of ``fn`` via the marginal-scan method, with the
+    scan lengths CALIBRATED to the primitive's actual speed: dn40's
+    convs are microseconds each, so fixed small lengths would vanish
+    under the ~25-45 ms tunnel RTT — a probe scan sizes n_large to
+    ~``target_s`` seconds of device time (n_small = n_large/4)."""
     import jax
     import jax.numpy as jnp
 
@@ -82,6 +87,16 @@ def measure_primitive(fn, args, n_small=50, n_large=200):
             return jax.lax.scan(body, a[0], None, length=n)
 
         return run
+
+    probe_n = 2000
+    run = make_run(probe_n)
+    np.asarray(run(*args)[1])  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(run(*args)[1])
+    probe_t = time.perf_counter() - t0
+    per_probe = max(probe_t / probe_n, 1e-9)
+    n_large = int(min(max(probe_n, target_s / per_probe), 400_000))
+    n_small = max(n_large // 4, 1)
 
     times = {}
     for n in (n_small, n_large):
