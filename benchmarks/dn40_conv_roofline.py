@@ -145,10 +145,22 @@ def main():
         # primitives the HVP's backward passes lower to)
         _, vjp = jax.vjp(fwd, x, w)
 
+        def _retry(f, a, tries=3):
+            # the tunneled chip's remote-compile endpoint drops
+            # connections transiently; a plain retry recovers
+            for attempt in range(tries):
+                try:
+                    return measure_primitive(f, a)
+                except Exception as e:
+                    if attempt == tries - 1:
+                        raise
+                    print(f"# retrying after: {e}", flush=True)
+                    time.sleep(5)
+
         flops = 2.0 * BATCH * h * h * cin * cout * k * k
-        t_fwd = measure_primitive(fwd, (x, w))
-        t_dx = measure_primitive(lambda d: vjp(d)[0], (dy,))
-        t_dw = measure_primitive(lambda d: vjp(d)[1], (dy,))
+        t_fwd = _retry(fwd, (x, w))
+        t_dx = _retry(lambda d: vjp(d)[0], (dy,))
+        t_dw = _retry(lambda d: vjp(d)[1], (dy,))
         for tag, t in (("fwd", t_fwd), ("dx", t_dx), ("dw", t_dw)):
             eff = flops / t / V5E_BF16_PEAK * 100
             # lane-cap prediction: output channels fill min(C,128) of
