@@ -363,3 +363,55 @@ def test_parity_anchor_alignment(tmp_path):
             assert r["j64_own"] == e * 100 + k
             assert r["t64_own"] == e * 100 + k  # epoch-end rows skipped
             assert r["j64_at_ref"] == e * 100 + k + 0.5
+
+
+def _synth_metrics(batch_rhos, acc=0.5):
+    """Minimal compare()-shaped metrics dict: one epoch whose rho is
+    the last batch rho, verbose rows [step, rho]."""
+    return {
+        "epochs": [{"epoch": 0, "f": 1.0, "rho": batch_rhos[-1]}],
+        "train_acc": acc, "test_acc": acc, "wall_time_s": 1.0,
+        "platform": "cpu", "param_drift_rel": None,
+        "batch_rows": [[i, r] for i, r in enumerate(batch_rhos)],
+    }
+
+
+def test_parity_anchored_verdict():
+    """compare()'s per-batch f64-anchored branch (run_parity.py): when
+    anchor rows align, the verdict must be B1 (cross-framework f64
+    parity at the reference's visited states, ≤1e-3 med / ≤1e-2 max)
+    AND B2 (f32 self-deviation symmetric within 10x) — with NO chaos
+    envelope — even when the raw f32 matched-batch gap alone would
+    fail the plain ≤1e-3 criterion."""
+    from benchmarks.parity import run_parity
+
+    cfg = {"epochs": 1, "batch_size": 4, "mu": 0.01, "K": 0.0,
+           "n_train": 16, "f64_anchor": True, "acc_bound_pp": 2.0}
+    # f32 rho gap ~20% — fails the plain criterion on its own
+    ref = _synth_metrics([100.0, 110.0, 120.0, 130.0])
+    jx = _synth_metrics([120.0, 95.0, 140.0, 118.0])
+
+    def anchor(b1_err, dj_scale):
+        rows = []
+        for rb, jb in zip(ref["batch_rows"], jx["batch_rows"]):
+            t64 = rb[1] * 1.001          # ref's own f64 oracle
+            rows.append({
+                "t64_own": t64,
+                "j64_at_ref": t64 * (1 + b1_err),   # B1 gap
+                "j64_own": jb[1] * (1 + dj_scale),  # sets d_j
+            })
+        return rows
+
+    # PASS: B1 tight (1e-5), self-deviations comparable
+    sec, ok = run_parity.compare("anch", cfg, ref, jx,
+                                 anchor=anchor(1e-5, 1e-3))
+    assert ok and "f64-anchored" in sec and "NO chaos envelope" in sec
+    # FAIL on B1: cross-framework f64 gap 5% at every visited state
+    _, ok = run_parity.compare("anch", cfg, ref, jx,
+                               anchor=anchor(5e-2, 1e-3))
+    assert not ok
+    # misaligned anchor (wrong row count) must NOT activate the
+    # anchored branch: plain criteria apply and the 20% f32 gap fails
+    sec, ok = run_parity.compare("anch", cfg, ref, jx,
+                                 anchor=anchor(1e-5, 1e-3)[:-1])
+    assert not ok and "f64-anchored" not in sec
