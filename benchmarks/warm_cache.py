@@ -1,0 +1,72 @@
+"""Pre-warm the repo-local XLA compilation cache (.xla_cache/) with
+every program the driver bench (bench.py) compiles, UNBOUNDED.
+
+bench.py's heavyweight stages run in bounded subprocesses so a driver
+run can never hang; the flip side is that on a completely cold cache a
+long compile can eat the stage budget and force a recorded fallback
+(exactly round 3's failure mode).  Running this script once after any
+cache wipe makes every subsequent bench.py run measure live and fast.
+
+Order: the dn121@224px step first (the ~300 MB / 12-28 min entry),
+then the dn40 spectral-step variants (defer + the three
+reference-protocol eigensolve legs), the dn40 HVP program, the
+CIFAR-50k epoch scan32 programs, and the USPS scan programs.  Each
+stage is a fresh subprocess so the tunneled chip always has exactly
+one client.
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+BSS = os.path.join(HERE, "bench_spectral_step.py")
+
+STAGES = [
+    ("s224", [BSS, "--model", "dn121", "--px", "224", "--batch", "64",
+              "--remat", "--defer"]),
+    ("dn40_defer", [BSS, "--model", "dn40", "--batch", "128",
+                    "--remat", "--defer"]),
+    ("eig_power", [BSS, "--model", "dn40", "--batch", "128", "--remat",
+                   "--defer", "--rand_init", "--pow_eps", "1e-3"]),
+    ("eig_lanczos", [BSS, "--model", "dn40", "--batch", "128", "--remat",
+                     "--defer", "--rand_init", "--pow_eps", "1e-3",
+                     "--lanczos", "8"]),
+    ("eig_auto", [BSS, "--model", "dn40", "--batch", "128", "--remat",
+                  "--defer", "--rand_init", "--pow_eps", "1e-3",
+                  "--auto"]),
+    ("dn40_hvp", ["-c",
+                  "from benchmarks.bench_densenet_hvp import measure\n"
+                  "import jax.numpy as jnp\n"
+                  "print(measure(batch=128, dtype=jnp.bfloat16, "
+                  "remat=True))"]),
+    ("epoch_scan32", ["-c",
+                      "from benchmarks.bench_epoch_wallclock import main\n"
+                      "print(main(device_data=True, scan_steps=32, "
+                      "verbose=False))"]),
+    ("usps", ["-c",
+              "import bench; print(bench.usps_hvps_per_sec())"]),
+]
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    rc = 0
+    for name, args in STAGES:
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        print(f"# warm {name} ...", flush=True)
+        out = subprocess.run([sys.executable] + args, cwd=REPO)
+        dt = time.perf_counter() - t0
+        print(f"# warm {name}: rc={out.returncode} in {dt:.0f}s",
+              flush=True)
+        rc = rc or out.returncode
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
