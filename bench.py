@@ -226,7 +226,7 @@ def measure_s224_bounded(budget_s: int = 900):
     return None
 
 
-def measure_eigensolve_bounded(leg_budget_s: int = 480):
+def measure_eigensolve_bounded(leg_budget_s: int = 900):
     """Reference-protocol eigensolve comparison, in BOUNDED subprocesses.
 
     The regime is the reference's own: its default ``pow_iter_eps=1e-3``
@@ -244,10 +244,16 @@ def measure_eigensolve_bounded(leg_budget_s: int = 480):
         eps-scaled depth cap): the policy-ON number.
 
     Each leg gets its OWN wall-clock budget (``OWB_BENCH_EIG_BUDGET``
-    per leg, default 480 s — r03's single shared 300 s budget killed
-    the power leg mid-measure and shipped a recorded value), so the
-    stage bound is 3x the leg budget.  Legs are ratio keys measured in
-    the SAME session, so VM load variance cancels in the speedup.
+    per leg, default 900 s — r03's single shared 300 s budget killed
+    the power leg mid-measure and shipped a recorded value, and the
+    measured COLD compiles are 508 s (power) / 685 s (lanczos), so the
+    earlier 480 s default could not even self-heal a wiped cache) and
+    retries once like the s224 stage (attempt 1's compile populates
+    .xla_cache when it finishes inside the budget, making attempt 2 a
+    warm measure), so the stage worst case is 6x the leg budget — but
+    the warm-cache common case is ~90 s/leg.  Legs are ratio keys
+    measured in the SAME session, so VM load variance cancels in the
+    speedup.
     Subprocesses run BEFORE the parent touches the TPU (one tunneled
     client at a time).  Fallback order on failure: the gitignored live
     sidecar (benchmarks/last_eigsolve.json) from a previous run on this
@@ -270,7 +276,12 @@ def measure_eigensolve_bounded(leg_budget_s: int = 480):
             ("auto", ["--auto"]))
     res = {}
     for name, extra in legs:
-        m = _run_bounded(base + extra, leg_budget_s, f"eigensolve {name}")
+        m = None
+        for attempt in (1, 2):
+            m = _run_bounded(base + extra, leg_budget_s,
+                             f"eigensolve {name} attempt {attempt}")
+            if m is not None:
+                break
         if m is None:
             res = None
             break
