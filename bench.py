@@ -125,7 +125,7 @@ def _run_bounded(cmd, timeout_s, tag):
     return None
 
 
-def measure_s224_bounded(budget_s: int = 900):
+def measure_s224_bounded(budget_s: int = 1500):
     """DenseNet121@224px spectral step, in a BOUNDED subprocess.
 
     The 224px step program's cold compile is ~12-28 min on the tunneled
@@ -137,8 +137,11 @@ def measure_s224_bounded(budget_s: int = 900):
     verified 2026-08-19 — a 900 s-killed cold run left a cache entry
     the immediate rerun loaded in ~190 s and measured live in ~500 s
     total).  Attempt budgets: OWB_BENCH_S224_BUDGET per attempt
-    (default 900 s), so the stage's worst case is 2x that plus the
-    retry's measurement.  Must run BEFORE the parent touches the TPU:
+    (default 1500 s — an uncontended cold compile measured 891 s on
+    2026-08-19, one VM-load fluctuation away from the former 900 s
+    bound, and a kill mid-compile writes NO cache entry, defeating the
+    self-heal), so the stage's worst case is 2x that plus the retry's
+    measurement.  Must run BEFORE the parent touches the TPU:
     the tunneled chip serves one client at a time, so the child gets
     exclusive access and exits before the parent's first device op."""
     import os
