@@ -565,13 +565,31 @@ def compare(name, cfg, ref, jx, chaos=None, vctl=None, anchor=None):
                 zip(ref["batch_rows"], jx["batch_rows"]))
             if rb[1] > 0 and jb[1] > 0
         ]
-        nb_rows = len(jx["batch_rows"]) // cfg["epochs"]
+        # Slot attribution is valid only when both drivers emitted
+        # exactly one verbose row per batch per epoch (a dropped or
+        # extra row would silently desync i % nb_rows); require exact
+        # divisibility on BOTH sides and a nonzero per-epoch count,
+        # else skip the (informational-only) attribution gracefully.
+        nb_rows = len(jx["batch_rows"]) // max(cfg["epochs"], 1)
+        rows_aligned = (
+            nb_rows > 0
+            and len(jx["batch_rows"]) == cfg["epochs"] * nb_rows
+            and len(ref["batch_rows"]) == len(jx["batch_rows"])
+        )
         marginal = {
             i % nb_rows
             for i, (rb, jb) in enumerate(
                 zip(ref["batch_rows"], jx["batch_rows"]))
             if rb[1] == -1 or jb[1] == -1
-        }
+        } if rows_aligned else set()
+        if not rows_aligned:
+            lines.append(
+                "- marginal-slot tail attribution skipped: verbose "
+                f"batch rows ({len(ref['batch_rows'])} ref / "
+                f"{len(jx['batch_rows'])} jax) do not divide evenly "
+                f"into {cfg['epochs']} epochs, so slot identity "
+                "i % nb_rows is unreliable"
+            )
         if marginal and idx_bre:
             tail = [(i, e) for i, e in idx_bre if e > 1e-1]
             tail_marg = [t for t in tail if t[0] % nb_rows in marginal]
@@ -589,9 +607,13 @@ def compare(name, cfg, ref, jx, chaos=None, vctl=None, anchor=None):
                 f"{off_max:.2e}"
             )
             if len(tail_marg) == len(tail) and off_max <= 1e-2:
-                verdict_rho += (
-                    f"; tail exclusively on discard-firing marginal "
-                    f"slots (off-slot max {off_max:.1e} ≤1e-2)"
+                # NOTE: attribution only — this clause never affects
+                # ok_rho; the gate above is the criterion.
+                lines.append(
+                    f"- tail attribution (informational, NOT a gating "
+                    f"criterion): tail exclusively on discard-firing "
+                    f"marginal slots (off-slot max {off_max:.1e} "
+                    f"≤1e-2)"
                 )
     else:
         ok_rho = med_bre <= 1e-3 and worst_rho <= 1e-2
