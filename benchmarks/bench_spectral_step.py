@@ -40,10 +40,11 @@ def _mark(msg: str) -> None:
 def build_trainer(model_name, batch, remat, defer=False, px=None,
                   hvp_micro=0, scan_steps=1, donate=False,
                   rand_init=False, momentum=None, pow_eps=0.05,
-                  lanczos=0, auto_solver=False,
+                  lanczos=0, auto_solver=False, device_data=False,
                   workdir="/tmp/bench_sstep"):
     import jax.numpy as jnp
 
+    from optwboundeigenval_tpu.data.device import DeviceArrayLoader
     from optwboundeigenval_tpu.data.loaders import ArrayLoader
     from optwboundeigenval_tpu.data.synthetic import make_images
     from optwboundeigenval_tpu.optim import sgd
@@ -67,12 +68,17 @@ def build_trainer(model_name, batch, remat, defer=False, px=None,
         shape, n_classes = (px or 64, px or 64, 3), 14
 
     x, y = make_images(batch * 4, shape=shape, n_classes=n_classes, seed=0)
+    # device_data: place the (small, cycled) bench dataset in HBM once
+    # (DeviceArrayLoader) so the scan-chunk path's stacked batches are
+    # built by an on-device program — the measurement is device-bound,
+    # not tunnel-transfer-bound (the epoch bench's recipe)
+    loader_cls = DeviceArrayLoader if device_data else ArrayLoader
     if model_name == "dn121":
         # multilabel targets for the CXR head's W-BCE-compatible CE path
         y = np.eye(14, dtype=np.float32)[y % 14]
-        loader = ArrayLoader(x.astype(np.float32), y, batch_size=batch)
+        loader = loader_cls(x.astype(np.float32), y, batch_size=batch)
     else:
-        loader = ArrayLoader(
+        loader = loader_cls(
             x.astype(np.float32), y.astype(np.int32), batch_size=batch
         )
 
@@ -101,13 +107,16 @@ def build_trainer(model_name, batch, remat, defer=False, px=None,
 def measure(model_name="dn40", batch=128, remat=True, defer=False,
             px=None, hvp_micro=0, scan_steps=1, donate=False,
             rand_init=False, momentum=None, pow_eps=0.05,
-            lanczos=0, auto_solver=False,
+            lanczos=0, auto_solver=False, device_data=False,
             n_small=5, n_large=20):
     tr, batches = build_trainer(model_name, batch, remat, defer, px=px,
                                 hvp_micro=hvp_micro, scan_steps=scan_steps,
                                 donate=donate, rand_init=rand_init,
                                 momentum=momentum, pow_eps=pow_eps,
-                                lanczos=lanczos, auto_solver=auto_solver)
+                                lanczos=lanczos, auto_solver=auto_solver,
+                                device_data=device_data)
+
+    last_deferred = []  # scan mode: per-chunk metrics of the last run()
 
     if scan_steps > 1:
         import jax.numpy as jnp
@@ -117,13 +126,16 @@ def measure(model_name="dn40", batch=128, remat=True, defer=False,
         def run(n):
             # chunked-dispatch path: chunks of k steps fused into one
             # lax.scan program (incl. the realistic host-side batch
-            # stacking + single stacked transfer per chunk)
+            # stacking + single stacked transfer per chunk; with
+            # --device_data the stack is built on device and the chunk
+            # dispatch carries no pixels)
             deferred = []
             data = [batches[i % len(batches)] for i in range(n)]
             for s in range(0, n, scan_steps):
                 tr._run_scan_chunk(data[s : s + scan_steps], mu_arr,
                                    deferred)
             np.asarray(deferred[-1]["gradf_norm"])
+            last_deferred[:] = deferred
 
     else:
 
@@ -147,25 +159,63 @@ def measure(model_name="dn40", batch=128, remat=True, defer=False,
         run(scan_steps)  # warm/compile the chunk-length program
     else:
         run(3)  # warm/compile
+    # snapshot the post-warm-up state and restore it before EVERY timed
+    # run: the eigensolve's while_loop trip count is state-dependent,
+    # so letting training advance across reps times DIFFERENT work
+    # (measured: per-rep marginals spread 2.2x from trip-count drift
+    # alone) — from a fixed state each run(n) is identical work and
+    # the marginal differencing is exact.  Skipped under donate (the
+    # step consumes its input buffers, so restoring stale references
+    # would crash); no flagship leg donates.
+    snap = None
+    if not donate:
+        snap = (tr.params, tr.model_state, tr.opt_state, tr.v, tr.rng)
+
+    def restore():
+        if snap is not None:
+            (tr.params, tr.model_state, tr.opt_state, tr.v,
+             tr.rng) = snap
+            tr._np_rng = np.random.default_rng(tr.seed)
+
     _mark("compile done; timing loops")
     times = {}
+    all_times = {}
     for n in (n_small, n_large):
-        best = float("inf")
+        reps = []
         for _ in range(3):
+            restore()
             t0 = time.perf_counter()
             run(n)
-            best = min(best, time.perf_counter() - t0)
-        times[n] = best
-        _mark(f"timed n={n}: best {best:.1f}s")
+            reps.append(time.perf_counter() - t0)
+        times[n] = min(reps)
+        all_times[n] = reps
+        _mark(f"timed n={n}: best {min(reps):.1f}s")
     steps = (n_large - n_small) / max(times[n_large] - times[n_small], 1e-9)
+    # per-rep marginal estimates (pair rep i of each n): a same-session
+    # dispersion for the VERDICT's max/min <= 1.25 device-boundedness
+    # criterion, without re-running the whole measurement 3x
+    steps_reps = [
+        round((n_large - n_small)
+              / max(all_times[n_large][i] - all_times[n_small][i], 1e-9), 4)
+        for i in range(3)
+    ]
 
     # end-to-end MFU via XLA's cost model: one spectral step =
     # (pow_iters + 3) HVP-equivalents (SURVEY.md §3.1 — gradient, power
     # iterations, gated vGHv ≈ 2 HVPs), with the per-HVP flop count
     # from the compiled program's cost analysis
-    m = tr.train_step(batches[0], fetch=True)
-    pow_iters = float(np.asarray(m["pow_iters"]))
-    rho = float(np.asarray(m["rho"]))
+    if scan_steps > 1:
+        # scan mode: pow_iters from the timed run's own deferred
+        # metrics — calling the per-batch train_step here would
+        # cold-compile a SECOND whole-step program just to read it
+        pow_iters = float(np.mean([
+            np.mean(np.asarray(d["pow_iters"])) for d in last_deferred
+        ]))
+        rho = float("nan")  # per-step rho is deferred out of scan chunks
+    else:
+        m = tr.train_step(batches[0], fetch=True)
+        pow_iters = float(np.asarray(m["pow_iters"]))
+        rho = float(np.asarray(m["rho"]))
     mfu = None
     try:
         import jax
@@ -195,11 +245,13 @@ def measure(model_name="dn40", batch=128, remat=True, defer=False,
         px=px, hvp_micro=hvp_micro, scan_steps=scan_steps, donate=donate,
         rand_init=rand_init, momentum=momentum, pow_eps=pow_eps,
         lanczos=lanczos, auto_solver=auto_solver,
+        device_data=device_data,
         eigensolver=tr.eigensolver, lanczos_m=tr.lanczos_m,
         steps_per_sec=round(steps, 4),
+        steps_per_sec_reps=steps_reps,
         examples_per_sec=round(steps * batch, 1),
         mean_pow_iters=pow_iters,
-        rho=round(rho, 6),
+        rho=None if np.isnan(rho) else round(rho, 6),
         mfu_pct_bf16_peak=round(mfu, 2) if mfu is not None else None,
     )
 
@@ -238,6 +290,12 @@ if __name__ == "__main__":
                     help="donate params/opt_state/v into the step "
                          "program (in-place update, ~1 param+opt tree "
                          "less peak HBM)")
+    ap.add_argument("--device_data", action="store_true",
+                    help="device-resident bench dataset "
+                         "(DeviceArrayLoader): with --scan_steps the "
+                         "chunk dispatch carries no pixels, so the "
+                         "measurement is device-bound (tight), not "
+                         "host-dispatch/VM-load-bound")
     ap.add_argument("--n_small", type=int, default=5)
     ap.add_argument("--n_large", type=int, default=20)
     args = ap.parse_args()
@@ -251,5 +309,6 @@ if __name__ == "__main__":
                              pow_eps=args.pow_eps,
                              lanczos=args.lanczos,
                              auto_solver=args.auto_solver,
+                             device_data=args.device_data,
                              n_small=args.n_small,
                              n_large=args.n_large)), flush=True)

@@ -147,8 +147,13 @@ CONFIGS = {
         # per-batch f64 anchoring (f64_anchor.py): both drivers dump
         # every pre-eigensolve state; the anchor pass re-solves each in
         # float64, replacing the 3x-chaos-envelope verdict with
-        # measured per-batch bounds (see compare()'s anchored branch)
-        dump_rho_states=True, f64_anchor=True,
+        # measured per-batch bounds (see compare()'s anchored branch).
+        # anchor_warm_v: warm-start each anchor solve from the dumped
+        # f32 converged eigenvector (same v0 on both frameworks at a
+        # given state, so B1 stays a same-protocol comparison) — this
+        # makes the FULL-scale anchor pass tractable on one core
+        # (uniform-v0 protocol measured ~2.5 h here; VERDICT r04 #1)
+        dump_rho_states=True, f64_anchor=True, anchor_warm_v=True,
         # f64 kernel floor: benchmarks/parity/cxr_f64_kernel_check.py
         # runs 3 power iterations at the converted init in f64 on BOTH
         # frameworks — lam agrees to 8 significant digits (4.5e-8 rel),
@@ -218,7 +223,15 @@ CONFIGS = {
 # parity (1e-11) from that chaos instead of bounding it by an envelope.
 CONFIGS["cxr_mini"] = dict(
     CONFIGS["cxr"], header="PARITY_CXRM", epochs=1, n_train=8, n_test=8,
-    px=32, max_pow_iter=5,
+    px=32, max_pow_iter=5, anchor_warm_v=False,
+)
+
+# cxr_mini with the warm-start anchor protocol (anchor_warm_v): the
+# cheap end-to-end validation of the warm-v machinery the full-scale
+# cxr task relies on — same dumps, anchors warm-started from each
+# state's f32 converged eigenvector on BOTH frameworks.
+CONFIGS["cxr_mini_warm"] = dict(
+    CONFIGS["cxr_mini"], header="PARITY_CXRW", anchor_warm_v=True,
 )
 
 
@@ -663,11 +676,14 @@ def compare(name, cfg, ref, jx, chaos=None, vctl=None, anchor=None):
         ratio = max(dj_med, 1e-12) / max(dt_med, 1e-12)
         b1_ok = b1_med <= 1e-3 and b1_max <= 1e-2
         b2_ok = 0.1 <= ratio <= 10.0
+        proto = ("warm-started from each state's dumped f32 "
+                 "eigenvector (same v0 both frameworks)"
+                 if cfg.get("anchor_warm_v") else "uniform v0")
         lines.append(
-            f"- f64 anchor (per-batch, f64_anchor.py): cross-framework "
-            f"f64 rho at the reference's visited states — rel-err "
-            f"median {b1_med:.2e}, max {b1_max:.2e} over {len(b1)} "
-            f"batches [strict ≤1e-3 / ≤1e-2]"
+            f"- f64 anchor (per-batch, f64_anchor.py, {proto}): "
+            f"cross-framework f64 rho at the reference's visited "
+            f"states — rel-err median {b1_med:.2e}, max {b1_max:.2e} "
+            f"over {len(b1)} batches [strict ≤1e-3 / ≤1e-2]"
         )
         lines.append(
             f"- f64 anchor self-oracles: |rho_f32 − rho_f64_own| median "
@@ -762,6 +778,54 @@ def compare(name, cfg, ref, jx, chaos=None, vctl=None, anchor=None):
     return "\n".join(lines), ok_acc and ok_rho
 
 
+# Real-data accuracy gate (BASELINE.md): the reference's published
+# Forest CoverType accuracy under spectral regularization mu=0.01 K=0,
+# hardcoded in its own plotting script
+# (/root/reference/cov_shift_plots.R:13,18).
+REAL_FOREST_TARGET_PCT = 70.38545
+REAL_FOREST_TOL_PP = 0.3
+COVTYPE_ROWS = 581012  # the real UCI covtype row count
+
+
+def real_forest_gate(dataroot, epochs=None):
+    """Train the mu=0.01/K=0 Forest recipe on REAL covtype data from
+    ``dataroot`` and gate final test accuracy against the reference's
+    published number (±0.3 pp, BASELINE.md).  With a stub dataset
+    (scripts/fetch_data.py --stub) the full path still executes — the
+    gate is reported but not enforced (exit 0, verdict 'STUB').
+    Runs on the default backend (the TPU when available)."""
+    sys.path.insert(0, REPO)
+    from optwboundeigenval_tpu.configs._families import forest_config
+    from optwboundeigenval_tpu.train import driver
+
+    path = next(
+        (os.path.join(dataroot, n) for n in ("covtype.csv", "covtype.data")
+         if os.path.exists(os.path.join(dataroot, n))), None)
+    if path is None:
+        print(f"# --real: no covtype.csv/covtype.data under {dataroot}; "
+              f"run scripts/fetch_data.py (or --stub) first")
+        return 1
+    opt = forest_config(mu=0.01, K=0.0, data_root=dataroot,
+                        header="REAL_Forest")
+    n_rows = (len(opt["target"]) + len(opt["target_valid"])
+              + len(opt["target_test"]))
+    is_real = n_rows == COVTYPE_ROWS
+    if epochs:
+        opt["max_iter"] = epochs
+    opt["test"] = False  # we gate explicitly below
+    tr = driver.run(opt)
+    _, acc, _ = tr.test_model(x=opt["inputs_test"], y=opt["target_test"])
+    acc_pct = acc * 100.0 if acc <= 1.0 else acc
+    gap = abs(acc_pct - REAL_FOREST_TARGET_PCT)
+    ok = gap <= REAL_FOREST_TOL_PP
+    verdict = ("PASS" if ok else "FAIL") if is_real else "STUB"
+    print(f"# real-forest gate [{verdict}]: test acc {acc_pct:.3f}% vs "
+          f"reference {REAL_FOREST_TARGET_PCT}% (gap {gap:.3f} pp, "
+          f"bound {REAL_FOREST_TOL_PP} pp; rows={n_rows}, "
+          f"real_covtype={is_real}, epochs={opt['max_iter']})")
+    return 0 if (ok or not is_real) else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", default="all",
@@ -771,7 +835,17 @@ def main():
     ap.add_argument("--recompare", action="store_true",
                     help="re-run compare() on metrics already on disk "
                     "(no driver subprocesses)")
+    ap.add_argument("--real", metavar="DATAROOT", default=None,
+                    help="run the REAL-data Forest accuracy gate "
+                    "(BASELINE.md ±0.3 pp vs cov_shift_plots.R:13-18) "
+                    "on covtype ingested by scripts/fetch_data.py")
+    ap.add_argument("--real-epochs", type=int, default=None,
+                    help="override the recipe's epoch count for the "
+                    "--real gate (stub dry-runs use a small value)")
     args = ap.parse_args()
+
+    if args.real:
+        sys.exit(real_forest_gate(args.real, args.real_epochs))
 
     names = list(CONFIGS) if args.task == "all" else [args.task]
     sections, all_ok = [], True

@@ -77,6 +77,7 @@ def forest_config(
     batch_size: int = 128,
     max_iter: int = 100,
     lr: float = 0.5,
+    data_root: str = "./data",
     **extra,
 ):
     from optwboundeigenval_tpu.data import forest
@@ -100,7 +101,7 @@ def forest_config(
     }
     import jax.numpy as jnp
 
-    opt.update(forest.get_data())
+    opt.update(forest.get_data(data_root))
     opt["optimizer"] = _make_optimizer(optimizer, lr=lr)
     # beta(k) = 1/(1+k) LambdaLR (params/forest_best.py), built on the
     # optimizer's actual base lr (comparators use their own defaults)
