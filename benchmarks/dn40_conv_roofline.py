@@ -60,6 +60,35 @@ def dn40_conv_shapes():
     return shapes
 
 
+def dn121_conv_shapes(px=224):
+    """(H, W, C_in, C_out, k) for every conv in DenseNet-121 at the CXR
+    pipeline resolution (dnet.py densenet121: growth 32, bottleneck
+    width 128, blocks (6, 12, 24, 16), 7x7-s2 conv0 + 3x3-s2 maxpool,
+    transitions halve channels and spatial dims).  Stride-2 conv0 is
+    represented at its OUTPUT resolution with the input-pixel flops —
+    the script's s1 SAME measurement at out-res is a close (slightly
+    conservative) stand-in for the s2 conv's achievable efficiency."""
+    shapes = {}
+
+    def add(h, cin, cout, k):
+        key = (h, cin, cout, k)
+        shapes[key] = shapes.get(key, 0) + 1
+
+    add(px // 2, 3, 64, 7)  # conv0 (7x7 s2) at its 112px output res
+    h = px // 4  # after the 3x3-s2 maxpool
+    in_planes = 64
+    for b, n_layers in enumerate((6, 12, 24, 16)):
+        for _ in range(n_layers):
+            add(h, in_planes, 128, 1)  # bottleneck
+            add(h, 128, 32, 3)  # grower
+            in_planes += 32
+        if b < 3:
+            out_planes = in_planes // 2
+            add(h, in_planes, out_planes, 1)  # transition
+            in_planes, h = out_planes, h // 2
+    return shapes
+
+
 def measure_primitive(fn, args, target_s=1.5):
     """Per-call time of ``fn`` via the marginal-scan method, with the
     scan lengths CALIBRATED to the primitive's actual speed: dn40's
@@ -114,13 +143,19 @@ def measure_primitive(fn, args, target_s=1.5):
     return per_call
 
 
-def main():
+def main(model="dn40", px=224, batch=None):
     import jax
     import jax.numpy as jnp
 
     V5E_BF16_PEAK = 394e12
 
-    shapes = dn40_conv_shapes()
+    global BATCH
+    if model == "dn121":
+        shapes = dn121_conv_shapes(px)
+        BATCH = batch or 64  # the 224px flagship config's batch
+    else:
+        shapes = dn40_conv_shapes()
+        BATCH = batch or 128
     rows = []
     total_flops = 0.0
     total_time = 0.0
@@ -182,7 +217,8 @@ def main():
 
     predicted_mfu = total_flops / total_time / V5E_BF16_PEAK * 100
     print(json.dumps({
-        "metric": "dn40_conv_per_shape_roofline",
+        "metric": f"{model}_conv_per_shape_roofline",
+        "batch": BATCH,
         "predicted_pipeline_mfu_pct": round(predicted_mfu, 2),
         "note": ("flop-weighted mean of standalone per-shape conv "
                  "efficiencies (fwd+dx+dw equally weighted per layer) "
@@ -193,4 +229,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="dn40", choices=["dn40", "dn121"])
+    ap.add_argument("--px", type=int, default=224)
+    ap.add_argument("--batch", type=int, default=None)
+    args = ap.parse_args()
+    main(args.model, args.px, args.batch)

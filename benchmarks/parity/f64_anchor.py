@@ -9,6 +9,15 @@ script then re-solves each state's eigenproblem in float64 with the
 identical protocol (uniform v0 — the reference's ``random_v`` is
 deterministic, opt.py:324-325 — same pow_iter_eps/max_pow_iter/alpha):
 
+With cfg ``anchor_warm_v`` the anchor solves WARM-START from the f32
+run's own converged per-state eigenvector (the ``v/*`` arrays both
+drivers dump post-solve): at a given state BOTH frameworks still use
+the SAME v0 (the dumping side's), so B1 remains a same-protocol
+cross-framework comparison, while each solve needs a few polish
+iterations instead of a full power-iteration budget — this is what
+makes the FULL-SCALE cxr anchor pass tractable on one CPU core
+(the uniform-v0 protocol measured ~2.5 h there; VERDICT r04 #1).
+
   * ``rho_t64_own[b]``  — the reference's OWN f64 oracle at its f32
     state s_t(b) (the reference's exact comp_rho code, model cast to
     double; opt.py:418-533);
@@ -75,17 +84,32 @@ def torch_side(workdir, cfg):
         gradg_clip=cfg.get("gradg_clip"),
         verbose=False, header="ANCHOR_T",
     )
+    warm = bool(cfg.get("anchor_warm_v"))
     rhos = []
     for path in _states(os.path.join(workdir, "ref_states")):
         z = np.load(path)
         sd = {k[3:]: torch.from_numpy(z[k]).double()
               for k in z.files if k.startswith("sd/")}
         model.load_state_dict(sd)
+        if warm and any(k.startswith("v/") for k in z.files):
+            # warm-start from the f32 run's converged eigenvector at
+            # THIS state (dumped split per parameter in HVP order)
+            o.rand_init = False
+            o.v = torch.from_numpy(np.concatenate([
+                np.asarray(z[f"v/{pname}"], np.float64).reshape(-1)
+                for pname, _ in model.named_parameters()
+            ])).double()
+        elif warm:
+            # a dump without v (pre-warm-schema): uniform protocol for
+            # this state, never the previous state's leftover o.v
+            o.rand_init = False
+            o.v = o.random_v()
         inputs = torch.from_numpy(z["batch/x"]).double()
         target = torch.from_numpy(z["batch/y"]).double()
-        o.comp_rho([inputs, target])
+        iters, _, _ = o.comp_rho([inputs, target])
         rhos.append(float(o.rho))
-        print(f"# torch anchor {path.rsplit('_', 1)[-1]}: rho={o.rho:.8g}",
+        print(f"# torch anchor {path.rsplit('_', 1)[-1]}: rho={o.rho:.8g} "
+              f"({iters + 1} iters{' warm' if warm else ''})",
               flush=True)
     with open(os.path.join(workdir, "anchor_torch.json"), "w") as fh:
         json.dump({"rho_t64_own": rhos}, fh)
@@ -117,21 +141,25 @@ def jax_side(workdir, cfg):
         has_batch_stats=True,
     )
 
+    warm = bool(cfg.get("anchor_warm_v"))
+
     @jax.jit
-    def _solve(variables, batch):
+    def _solve(variables, batch, v0):
         params = variables.pop("params")
         model_state = variables
         loss_fn = task.loss_fn(model_state, None)
         _, hvp_fn = curvature.linearize_hvp(loss_fn, params, batch)
         eig = eigen.estimate_dominant_eig(
-            hvp_fn, tree_uniform_like(params),
+            hvp_fn, v0,
             eps=cfg["pow_iter_eps"], max_iter=cfg["max_pow_iter"],
             ignore_bad_vals=cfg["ignore_bad_vals"],
         )
         return eig.rho
 
-    def solve(variables, batch):
-        return float(_solve(dict(variables), batch))
+    def solve(variables, batch, v0=None):
+        if v0 is None:
+            v0 = tree_uniform_like(variables["params"])
+        return float(_solve(dict(variables), batch, v0))
 
     def f64_tree(flat):
         flat = {k: jnp.asarray(np.asarray(v), jnp.float64)
@@ -144,9 +172,16 @@ def jax_side(workdir, cfg):
         variables = f64_tree(
             {k[4:]: z[k] for k in z.files if k.startswith("var/")}
         )
+        v0 = None
+        if warm and any(k.startswith("v/") for k in z.files):
+            # this framework's own dumped post-solve eigenvector
+            # (flatten_dict of the params-shaped v pytree)
+            v0 = f64_tree(
+                {k[2:]: z[k] for k in z.files if k.startswith("v/")}
+            )
         batch = {k[6:]: jnp.asarray(np.asarray(z[k]), jnp.float64)
                  for k in z.files if k.startswith("batch/")}
-        own.append(solve(variables, batch))
+        own.append(solve(variables, batch, v0))
         print(f"# jax own anchor {path.rsplit('_', 1)[-1]}: "
               f"rho={own[-1]:.8g}", flush=True)
 
@@ -156,13 +191,28 @@ def jax_side(workdir, cfg):
         sd = {k[3:]: np.asarray(z[k], np.float64)
               for k in z.files if k.startswith("sd/")}
         variables = f64_tree(convert_dcnn_densenet121(sd))
+        v0 = None
+        if warm and any(k.startswith("v/") for k in z.files):
+            # the REFERENCE's dumped eigenvector, mapped to the flax
+            # layout by the SAME converter as the params (pure
+            # transposes/reshapes, so <v, Hv> semantics carry over):
+            # overlay the per-param v chunks onto the state_dict and
+            # keep the converter's params/ outputs
+            vsd = {k: np.asarray(z[f"v/{k}"], np.float64)
+                   if f"v/{k}" in z.files else v_
+                   for k, v_ in sd.items()}
+            vconv = convert_dcnn_densenet121(vsd)
+            v0 = f64_tree(
+                {k[len("params/"):]: v_ for k, v_ in vconv.items()
+                 if k.startswith("params/")}
+            )
         x = np.asarray(z["batch/x"], np.float64).transpose(0, 2, 3, 1)
         y = np.asarray(z["batch/y"], np.float64)
         batch = {
             "x": jnp.asarray(x), "y": jnp.asarray(y),
             "w": jnp.ones(x.shape[0], jnp.float64),
         }
-        at_ref.append(solve(variables, batch))
+        at_ref.append(solve(variables, batch, v0))
         print(f"# jax at-ref anchor {path.rsplit('_', 1)[-1]}: "
               f"rho={at_ref[-1]:.8g}", flush=True)
 

@@ -286,12 +286,20 @@ def main(workdir, platform="cpu"):
             flat.update(
                 {f"batch/{k}": np.asarray(v) for k, v in batch.items()}
             )
+            out = orig_step_d(batch, **kw)
+            # POST-step converged eigenvector (the solve ran at the
+            # PRE-step params dumped above; the param update happens
+            # after it inside the step) — the f64 anchor warm-start
+            flat.update(
+                {f"v/{k}": np.asarray(v)
+                 for k, v in flatten_dict(tr.v, sep="/").items()}
+            )
             np.savez(
                 os.path.join(sdir, f"state_{dump_counter['i']:03d}.npz"),
                 **flat,
             )
             dump_counter["i"] += 1
-            return orig_step_d(batch, **kw)
+            return out
 
         tr.train_step = dumping_step
 

@@ -343,12 +343,26 @@ def main(workdir):
             }
             arrays["batch/x"] = inputs_d.detach().cpu().numpy()
             arrays["batch/y"] = target_d.detach().cpu().numpy()
+            out = orig_comp_rho(data, p)
+            # POST-solve converged eigenvector (opt.py:508), split per
+            # parameter in the HVP flattening order (model.parameters(),
+            # opt.py:102): the f64 anchor pass warm-starts its re-solve
+            # from this, cutting each anchor solve from a full power-
+            # iteration budget to a few polish iterations
+            vec = o.v.detach().cpu().numpy()
+            off = 0
+            for pname, prm in o.model.named_parameters():
+                n = prm.numel()
+                arrays[f"v/{pname}"] = (
+                    vec[off:off + n].reshape(tuple(prm.shape))
+                )
+                off += n
             np.savez(
                 os.path.join(sdir, f"state_{dump_counter['i']:03d}.npz"),
                 **arrays,
             )
             dump_counter["i"] += 1
-            return orig_comp_rho(data, p)
+            return out
 
         o.comp_rho = dumping_comp_rho
 
