@@ -578,11 +578,11 @@ def write_perf_md(res: dict, path: str = "PERF.md") -> None:
         f"({f('examples_per_sec_dn121_224')} ex/s) | "
         f"{disp('spectral_steps_per_sec_dn121_224_dispersion')} | "
         f"{f('mfu_pct_dn121_224')} | — | — | "
-        f"{res.get('s224_source', '—')} |",
+        f"{res.get('s224_source') or '—'} |",
         f"| dn121@224 spectral step, per-step dispatch | "
         f"{f('spectral_steps_per_sec_dn121_224_dispatch')} steps/s | "
         f"— | {f('mfu_pct_dn121_224_dispatch')} | — | — | "
-        f"{res.get('s224_dispatch_source', '—')} "
+        f"{res.get('s224_dispatch_source') or '—'} "
         f"(best ever: {f('examples_per_sec_dn121_224_best')} ex/s, "
         f"{f('mfu_pct_dn121_224_best')}% MFU) |",
         f"| CIFAR-50k epoch (391 steps + eval + rho) | "
@@ -591,16 +591,16 @@ def write_perf_md(res: dict, path: str = "PERF.md") -> None:
         f"projection) |",
         f"| eigensolve refproto (eps=1e-3, rand_init): lanczos vs "
         f"power | {f('eigensolve_speedup_lanczos')}x | — | — | — | — | "
-        f"{res.get('eigsolve_source', '—')} |",
+        f"{res.get('eigsolve_source') or '—'} |",
         f"| eigensolve refproto: auto policy vs power | "
         f"{f('eigensolve_speedup_auto_policy')}x | — | — | — | — | "
-        f"{res.get('eigsolve_source', '—')} |",
+        f"{res.get('eigsolve_source') or '—'} |",
         f"| eigensolve LOOSE (eps=0.05, warm v): auto vs power "
         f"(must be ≈1) | {f('eigensolve_loose_auto_vs_power')}x | — | — "
-        f"| — | — | {res.get('loose_source', '—')} |",
+        f"| — | — | {res.get('loose_source') or '—'} |",
         f"| eigensolve LOOSE: lanczos vs power (must be <1 — auto "
         f"declines it) | {f('eigensolve_loose_lanczos_vs_power')}x | — "
-        f"| — | — | — | {res.get('loose_source', '—')} |",
+        f"| — | — | — | {res.get('loose_source') or '—'} |",
         f"| USPS tiny-CNN HVP (dispatch-bound continuity key) | "
         f"{f('usps_hvps_per_sec')} HVP/s | — | — | — | — | live "
         f"({f('usps_vs_torch_cpu')}x vs torch CPU) |",
