@@ -3,8 +3,7 @@
 Measures, beyond the headline bench.py number:
   1. HVP throughput on the CIFAR DenseNet-40-12 (the reference's big
      from-scratch workload) — marginal cost between two scan lengths;
-  2. fused Pallas epilogue vs XLA reductions on a large flat operator;
-  3. one spectral-regularized epoch wallclock on CIFAR DenseNet3
+  2. one spectral-regularized epoch wallclock on CIFAR DenseNet3
      (synthetic data, the BASELINE.json "epoch wallclock" metric).
 
 Prints one JSON line per metric.
@@ -82,57 +81,6 @@ def bench_densenet_hvp():
     }))
 
 
-def bench_fused_epilogue(n=16_000_000, iters=50):
-    """Marginal per-call cost measured inside one jitted scan (the
-    tunnel RTT otherwise swamps sub-ms kernels); each iteration's
-    output perturbs the next input so nothing folds away."""
-    from optwboundeigenval_tpu.ops import pallas_kernels as pk
-
-    rng = np.random.default_rng(0)
-    hv = jnp.asarray(rng.normal(size=n).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=n).astype(np.float32))
-    ro = jnp.asarray(rng.normal(size=n).astype(np.float32))
-
-    def xla_epilogue(hv, v, ro):
-        lam_raw = jnp.vdot(hv, v)
-        s = jnp.where(lam_raw < 0, -1.0, 1.0)
-        lam = jnp.abs(lam_raw)
-        r = s * hv - lam * v
-        nres = jnp.linalg.norm(r)
-        rn = jnp.minimum(jnp.linalg.norm(r - ro), jnp.linalg.norm(r + ro))
-        u = v + 0.5 * (s * hv - v)
-        return nres + rn + jnp.linalg.norm(u)
-
-    def fused(hv, v, ro):
-        sums = pk.fused_epilogue_sums(hv, v, ro)
-        sc = pk.epilogue_scalars(sums)
-        return sc["n"] + sc["rn"] + sc["lam"]
-
-    def scan_of(fn, k):
-        @jax.jit
-        def run(hv, v, ro):
-            def body(carry, _):
-                out = fn(hv + carry * 1e-12, v, ro)
-                return out, None
-
-            return jax.lax.scan(body, jnp.float32(0), None, length=k)[0]
-
-        return run
-
-    results = {}
-    for name, fn in (("xla", xla_epilogue), ("fused_pallas", fused)):
-        t_small = timed_materialize(scan_of(fn, iters // 5), hv, v, ro)
-        t_large = timed_materialize(scan_of(fn, iters), hv, v, ro)
-        per_call = (t_large - t_small) / (iters - iters // 5)
-        results[name + "_ms"] = round(per_call * 1e3, 3)
-    print(json.dumps({
-        "metric": "power_iter_epilogue_16M_marginal",
-        **results,
-        "speedup": round(results["xla_ms"] / max(results["fused_pallas_ms"],
-                                                 1e-9), 2),
-    }))
-
-
 def bench_cifar_epoch(n_batches=20):
     from optwboundeigenval_tpu.data.loaders import ArrayLoader
     from optwboundeigenval_tpu.data.synthetic import make_images
@@ -170,7 +118,5 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "hvp"):
         bench_densenet_hvp()
-    if which in ("all", "epilogue"):
-        bench_fused_epilogue()
     if which in ("all", "epoch"):
         bench_cifar_epoch()

@@ -240,101 +240,6 @@ def power_iteration(
     )
 
 
-def power_iteration_fused(
-    matvec_flat: Callable[[jax.Array], jax.Array],
-    v0_flat: jax.Array,
-    *,
-    eps: float = 1e-3,
-    max_iter: int = 1000,
-    alpha: AlphaFn = 1.0,
-    cap_by_dim: bool = True,
-) -> PowerIterResult:
-    """Flat-vector power iteration whose per-step epilogue (Rayleigh
-    quotient, residual norms, stopping scalars, update norm) is ONE
-    fused Pallas pass over HBM (ops/pallas_kernels.fused_epilogue_sums)
-    instead of XLA's several reduction sweeps.  Same semantics as
-    :func:`power_iteration`; meant for large models where the epilogue
-    bandwidth is measurable next to the HVP."""
-    from optwboundeigenval_tpu.ops import pallas_kernels as pk
-
-    n = int(v0_flat.size)
-    n_iters = int(min(n, max_iter)) if cap_by_dim else int(max_iter)
-    alpha_fn = _as_alpha_fn(alpha)
-    inf = jnp.asarray(jnp.inf, jnp.float32)
-
-    class _FState(NamedTuple):
-        i: jax.Array
-        v: jax.Array
-        lam: jax.Array
-        lam_old: jax.Array
-        r_old: jax.Array
-        n: jax.Array
-        n_old: jax.Array
-        rn: jax.Array
-        done: jax.Array
-
-    def cond(s):
-        return jnp.logical_and(s.i < n_iters, jnp.logical_not(s.done))
-
-    def body(s):
-        hv = matvec_flat(s.v)
-        sums = pk.fused_epilogue_sums(hv, s.v, s.r_old)
-        sc = pk.epilogue_scalars(sums)
-        lam, nres, rn, sign = sc["lam"], sc["n"], sc["rn"], sc["sign"]
-        r = sign * hv - lam * s.v
-
-        stop1 = nres
-        stop2 = jnp.where(s.n_old != 0, rn / s.n_old, inf)
-        stop3 = jnp.where(
-            s.lam_old != 0, jnp.abs(lam - s.lam_old) / s.lam_old, inf
-        )
-        done = (stop1 < eps) | (stop2 < eps) | (stop3 < eps)
-
-        a = alpha_fn(s.i)
-        # |u|^2 from the fused sums: u = v + a (s*hv - v)
-        u_sq = (
-            sc["v_v"]
-            + 2.0 * a * (sign * sc["hv_v"] - sc["v_v"])
-            + a**2 * (sc["hv_hv"] - 2.0 * sign * sc["hv_v"] + sc["v_v"])
-        )
-        inv_norm = jax.lax.rsqrt(jnp.maximum(u_sq, 1e-30))
-        v_next = (s.v + a * (sign * hv - s.v)) * inv_norm
-
-        return _FState(
-            i=s.i + 1,
-            v=jnp.where(done, s.v, v_next),
-            lam=lam,
-            lam_old=jnp.where(done, s.lam_old, lam),
-            r_old=jnp.where(done, s.r_old, r),
-            n=nres,
-            n_old=jnp.where(done, s.n_old, nres),
-            rn=rn,
-            done=done,
-        )
-
-    zero = jnp.asarray(0.0, jnp.float32)
-    init = _FState(
-        i=jnp.asarray(0, jnp.int32),
-        v=v0_flat,
-        lam=zero,
-        lam_old=zero,
-        r_old=jnp.zeros_like(v0_flat),
-        n=zero,
-        n_old=zero,
-        rn=zero,
-        done=jnp.asarray(False),
-    )
-    final = jax.lax.while_loop(cond, body, init)
-    return PowerIterResult(
-        rho=jnp.abs(final.lam),
-        v=final.v,
-        norm=final.n,
-        res_change=final.rn,
-        iters=final.i,
-        converged=final.done,
-    )
-
-
 class SubspaceResult(NamedTuple):
     eigenvalues: jax.Array  # (k,) descending by |value| estimate
     V: jax.Array  # (k, n) orthonormal basis rows

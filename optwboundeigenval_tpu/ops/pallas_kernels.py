@@ -1,34 +1,27 @@
-"""Pallas TPU kernels for the eigensolver hot path.
+"""Pallas TPU kernels used by the curvature hot path.
 
-Two fused primitives used inside the power-iteration loop:
+One production primitive:
 
-  * :func:`axpy_accumulate` — in-place ``acc += delta`` over a flat
-    vector with the output aliased to the accumulator buffer, used by
-    the micro-batched HVP accumulation (no extra HBM round trip per
-    micro-batch).
-  * :func:`power_iter_epilogue` — ONE pass over (hv, v, r_old)
-    producing every scalar the stopping rule needs (lam raw, |r|^2,
-    |r - r_old|^2, |r + r_old|^2, |v + alpha (hv - v)|^2) plus the
-    sign-corrected residual, instead of XLA's several separate
-    reduction passes over HBM.
+  * :func:`axpy_accumulate` — in-place ``acc += alpha * delta`` over a
+    flat vector with the output aliased to the accumulator buffer, used
+    by the micro-batched HVP accumulation (no extra HBM round trip per
+    micro-batch; ops/curvature.py hvp_microbatched).
 
-Both kernels tile the flat vector into (8, 128)-aligned blocks and run
-the grid sequentially (TPU grid semantics), accumulating partial sums
-in SMEM scratch.  On CPU (tests) they execute in interpreter mode.
+The kernel tiles the flat vector into (8, 128)-aligned blocks and runs
+the grid sequentially (TPU grid semantics).  On CPU (tests) it executes
+in interpreter mode.
 
-Measured reality check (TPU v5e, 16M-element vectors, marginal cost
-inside a scan): XLA's fused reduction epilogue runs at ~0.6 ms/call;
-this kernel at ~1.4 ms/call — XLA's reduction codegen beats the naive
-block-reduce here, so the trainer keeps the XLA-fused pytree
-eigensolver as the default and this fused path stays opt-in
-(``eigen.power_iteration_fused``).  ``axpy_accumulate`` matches XLA and
-is used by the micro-batched HVP accumulation for its in-place
-donation.  Numbers: benchmarks/bench_suite.py ``epilogue``.
+A fused power-iteration epilogue (one Pallas pass over (hv, v, r_old)
+producing every stopping-rule scalar, plus ``eigen.power_iteration_fused``
+built on it) was measured slower than XLA's reduction codegen twice —
+2026-08 round 2: 1.4 ms vs 0.6 ms/call; 2026-08-20 round 5 re-measure on
+jax 0.9/Mosaic: 0.864 ms vs 0.650 ms (0.75x) at 16M elements — and was
+RETIRED; see RESULTS.md "Pallas decision".  XLA's fused pytree
+eigensolver is the only power-iteration path.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -91,92 +84,3 @@ def axpy_accumulate(acc: jax.Array, delta: jax.Array,
         interpret=_interpret(),
     )(alpha_arr, a2, d2)
     return out.reshape(-1)[:n].reshape(acc.shape)
-
-
-# ---------------------------------------------------------------------------
-# fused epilogue reductions
-# ---------------------------------------------------------------------------
-
-
-def _reduce_kernel(hv_ref, v_ref, rold_ref, part_ref):
-    """Per-block partial sums of [ <hv,v>, <hv,hv>, <v,v>, <hv,rold>,
-    <v,rold>, <rold,rold> ], each block writing an independent output
-    row (no cross-block dependency, so the grid pipeline never stalls
-    on an accumulator).  Every residual / update-norm quantity the
-    stopping rule needs is a linear combination of these six once lam
-    is known; the tiny (grid, 8) partial matrix is reduced by XLA
-    outside the kernel."""
-    hv = hv_ref[:]
-    v = v_ref[:]
-    ro = rold_ref[:]
-    sums = [
-        jnp.sum(hv * v),
-        jnp.sum(hv * hv),
-        jnp.sum(v * v),
-        jnp.sum(hv * ro),
-        jnp.sum(v * ro),
-        jnp.sum(ro * ro),
-    ]
-    # one (8, 128) VMEM tile per block, sum k broadcast across row k
-    # (output blocks must be (8, 128)-aligned on TPU)
-    rows = [jnp.full((1, LANES), s, jnp.float32) for s in sums]
-    rows.append(jnp.zeros((2, LANES), jnp.float32))
-    part_ref[:] = jnp.concatenate(rows, axis=0)
-
-
-def fused_epilogue_sums(hv: jax.Array, v: jax.Array,
-                        r_old: jax.Array) -> jax.Array:
-    """One HBM pass over (hv, v, r_old) -> the 6 inner products."""
-    hv2, _ = _pad_to_tiles(hv)
-    v2, _ = _pad_to_tiles(v)
-    ro2, _ = _pad_to_tiles(r_old)
-    grid = hv2.shape[0] // BLOCK_ROWS
-    parts = pl.pallas_call(
-        _reduce_kernel,
-        out_shape=jax.ShapeDtypeStruct((grid * 8, LANES), jnp.float32),
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=_interpret(),
-    )(hv2, v2, ro2)
-    return jnp.sum(parts.reshape(grid, 8, LANES)[:, :, 0], axis=0)
-
-
-def epilogue_scalars(sums: jax.Array):
-    """Derive the stopping-rule scalars from the 6 fused inner
-    products.  With s = sign(lam_raw) and r = s*hv - lam*v:
-
-      lam        = |<hv, v>| / <v, v>            (v is unit norm: <v,v>=1)
-      |r|^2      = <hv,hv> - 2 lam s <hv,v> + lam^2 <v,v>
-      <r, r_old> = s <hv,ro> - lam <v,ro>
-      |r±r_old|^2 = |r|^2 ± 2<r,r_old> + |ro|^2
-      u = v + alpha (s*hv - v):
-      |u|^2      = <v,v> + 2 alpha (s<hv,v> - <v,v>)
-                   + alpha^2 (<hv,hv> - 2 s <hv,v> + <v,v>)
-    """
-    hv_v, hv_hv, v_v, hv_ro, v_ro, ro_ro = (
-        sums[0], sums[1], sums[2], sums[3], sums[4], sums[5]
-    )
-    s = jnp.where(hv_v < 0, -1.0, 1.0)
-    lam = jnp.abs(hv_v)
-    r_sq = hv_hv - 2.0 * lam * s * hv_v + lam**2 * v_v
-    r_ro = s * hv_ro - lam * v_ro
-    r_minus_sq = jnp.maximum(r_sq - 2.0 * r_ro + ro_ro, 0.0)
-    r_plus_sq = jnp.maximum(r_sq + 2.0 * r_ro + ro_ro, 0.0)
-    return {
-        "sign": s,
-        "lam": lam,
-        "n": jnp.sqrt(jnp.maximum(r_sq, 0.0)),
-        "rn": jnp.minimum(jnp.sqrt(r_minus_sq), jnp.sqrt(r_plus_sq)),
-        "hv_v": hv_v,
-        "hv_hv": hv_hv,
-        "v_v": v_v,
-    }

@@ -21,58 +21,6 @@ def test_axpy_accumulate_matches_numpy():
     np.testing.assert_allclose(out2, a2 + d2, rtol=1e-6)
 
 
-def test_fused_epilogue_sums_match_dense():
-    rng = np.random.default_rng(1)
-    n = 3000  # crosses a block boundary after padding
-    hv = rng.normal(size=n).astype(np.float32)
-    v = rng.normal(size=n).astype(np.float32)
-    ro = rng.normal(size=n).astype(np.float32)
-    sums = np.asarray(
-        pk.fused_epilogue_sums(jnp.asarray(hv), jnp.asarray(v), jnp.asarray(ro))
-    )
-    expect = [hv @ v, hv @ hv, v @ v, hv @ ro, v @ ro, ro @ ro]
-    np.testing.assert_allclose(sums[:6], expect, rtol=1e-4)
-
-
-def test_epilogue_scalars_match_reference_math():
-    rng = np.random.default_rng(2)
-    n = 512
-    hv = rng.normal(size=n).astype(np.float32)
-    v = rng.normal(size=n).astype(np.float32)
-    v = v / np.linalg.norm(v)
-    ro = rng.normal(size=n).astype(np.float32)
-    sums = pk.fused_epilogue_sums(jnp.asarray(hv), jnp.asarray(v),
-                                  jnp.asarray(ro))
-    sc = pk.epilogue_scalars(sums)
-    # reference math (opt.py:455-463)
-    lam_raw = hv @ v
-    s = -1.0 if lam_raw < 0 else 1.0
-    lam = abs(lam_raw)
-    r = s * hv - lam * v
-    np.testing.assert_allclose(float(sc["lam"]), lam, rtol=1e-4)
-    np.testing.assert_allclose(float(sc["n"]), np.linalg.norm(r), rtol=1e-3)
-    rn = min(np.linalg.norm(r - ro), np.linalg.norm(r + ro))
-    np.testing.assert_allclose(float(sc["rn"]), rn, rtol=1e-3)
-
-
-def test_power_iteration_fused_matches_pytree_version():
-    rng = np.random.default_rng(3)
-    Q, _ = np.linalg.qr(rng.normal(size=(64, 64)))
-    eigs = np.concatenate([[4.0], np.linspace(0.1, 1.5, 63)])
-    A = jnp.asarray((Q @ np.diag(eigs) @ Q.T).astype(np.float32))
-    v0 = jnp.full((64,), 1.0 / 8.0, jnp.float32)
-
-    ref = eigen.power_iteration(
-        lambda t: {"x": A @ t["x"]}, {"x": v0}, eps=1e-5, max_iter=500
-    )
-    fused = eigen.power_iteration_fused(
-        lambda v: A @ v, v0, eps=1e-5, max_iter=500
-    )
-    assert bool(fused.converged)
-    np.testing.assert_allclose(float(fused.rho), float(ref.rho), rtol=1e-3)
-    np.testing.assert_allclose(float(fused.rho), 4.0, rtol=1e-3)
-
-
 def test_hvp_microbatched_exact():
     """Micro-batched accumulation equals the full-batch HVP for
     weighted-mean losses, including padded zero-weight rows."""
