@@ -1,4 +1,4 @@
-"""Per-batch float64 anchor pass for the cxr f32 parity task.
+"""Per-batch float64 anchor pass for the f32 parity tasks (cxr, cifar).
 
 The cxr f32 verdict used to rest on a 3x-chaos envelope (the matched-
 batch rho gap median 1.26e-1 was judged against the reference's own
@@ -68,10 +68,16 @@ def torch_side(workdir, cfg):
     torch.manual_seed(cfg["seed"])
     model, opt_, sched = ref_driver.build(cfg["task"], cfg)
     model = model.double()
-    import dcnn
     import opt as ref_opt
 
-    criterion = dcnn.W_BCEWithLogitsLoss()
+    if cfg["task"] == "cxr":
+        import dcnn
+
+        criterion = dcnn.W_BCEWithLogitsLoss()
+    else:
+        # cifar/forest/usps recipes: plain CE on (double-softmax)
+        # logits — same criterion selection as ref_driver.run
+        criterion = torch.nn.CrossEntropyLoss()
     o = ref_opt.OptWBoundEignVal(
         model, criterion, opt_, scheduler=sched,
         mu=cfg["mu"], K=cfg["K"], eps=-1,
@@ -105,7 +111,13 @@ def torch_side(workdir, cfg):
             o.rand_init = False
             o.v = o.random_v()
         inputs = torch.from_numpy(z["batch/x"]).double()
-        target = torch.from_numpy(z["batch/y"]).double()
+        if cfg["task"] == "cxr":
+            target = torch.from_numpy(z["batch/y"]).double()
+        else:
+            # integer class labels (CrossEntropyLoss wants long)
+            target = torch.from_numpy(
+                np.asarray(z["batch/y"], np.int64)
+            )
         iters, _, _ = o.comp_rho([inputs, target])
         rhos.append(float(o.rho))
         print(f"# torch anchor {path.rsplit('_', 1)[-1]}: rho={o.rho:.8g} "
@@ -126,20 +138,52 @@ def jax_side(workdir, cfg):
     from flax.traverse_util import flatten_dict, unflatten_dict
 
     sys.path.insert(0, REPO)
-    from optwboundeigenval_tpu.models.cxr import DenseNet121Sigmoid
     from optwboundeigenval_tpu.ops import curvature, eigen
     from optwboundeigenval_tpu.train import Task
-    from optwboundeigenval_tpu.train.task import weighted_bce_with_logits
     from optwboundeigenval_tpu.utils.tree import tree_uniform_like
-    from scripts.convert_torch_weights import convert_dcnn_densenet121
 
-    task = Task(
-        model=DenseNet121Sigmoid(
-            class_count=cfg.get("n_classes", 14), dtype=jnp.float64
-        ),
-        loss=weighted_bce_with_logits,
-        has_batch_stats=True,
-    )
+    if cfg["task"] == "cifar":
+        # cifar10_DenseNet recipe: DenseNet3 + plain CE on logits
+        # (Task's default loss — same binding as jax_driver's cifar
+        # branch), integer class labels
+        from optwboundeigenval_tpu.models import DenseNet3
+        from optwboundeigenval_tpu.utils.torch_interop import (
+            convert_densenet3_state_dict,
+        )
+
+        task = Task(
+            model=DenseNet3(depth=cfg["depth"], dtype=jnp.float64),
+            has_batch_stats=True,
+        )
+
+        def convert_ref(sd):
+            params, batch_stats = convert_densenet3_state_dict(
+                sd, depth=cfg["depth"]
+            )
+            return {"params": params, "batch_stats": batch_stats}
+
+        y_is_float = False
+    else:
+        from optwboundeigenval_tpu.models.cxr import DenseNet121Sigmoid
+        from optwboundeigenval_tpu.train.task import (
+            weighted_bce_with_logits,
+        )
+        from scripts.convert_torch_weights import (
+            convert_dcnn_densenet121,
+        )
+
+        task = Task(
+            model=DenseNet121Sigmoid(
+                class_count=cfg.get("n_classes", 14), dtype=jnp.float64
+            ),
+            loss=weighted_bce_with_logits,
+            has_batch_stats=True,
+        )
+
+        def convert_ref(sd):
+            return unflatten_dict(convert_dcnn_densenet121(sd), sep="/")
+
+        y_is_float = True
 
     warm = bool(cfg.get("anchor_warm_v"))
 
@@ -166,6 +210,26 @@ def jax_side(workdir, cfg):
                 for k, v in flat.items()}
         return unflatten_dict(flat, sep="/")
 
+    def f64_cast(tree):
+        import jax as _jax
+
+        return _jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a), jnp.float64), tree
+        )
+
+    def load_batch(z):
+        batch = {}
+        for k in z.files:
+            if not k.startswith("batch/"):
+                continue
+            name = k[6:]
+            arr = np.asarray(z[k])
+            if name == "y" and not y_is_float:
+                batch[name] = jnp.asarray(arr)  # integer labels
+            else:
+                batch[name] = jnp.asarray(arr, jnp.float64)
+        return batch
+
     own = []
     for path in _states(os.path.join(workdir, "jax_states")):
         z = np.load(path)
@@ -179,8 +243,7 @@ def jax_side(workdir, cfg):
             v0 = f64_tree(
                 {k[2:]: z[k] for k in z.files if k.startswith("v/")}
             )
-        batch = {k[6:]: jnp.asarray(np.asarray(z[k]), jnp.float64)
-                 for k in z.files if k.startswith("batch/")}
+        batch = load_batch(z)
         own.append(solve(variables, batch, v0))
         print(f"# jax own anchor {path.rsplit('_', 1)[-1]}: "
               f"rho={own[-1]:.8g}", flush=True)
@@ -190,26 +253,25 @@ def jax_side(workdir, cfg):
         z = np.load(path)
         sd = {k[3:]: np.asarray(z[k], np.float64)
               for k in z.files if k.startswith("sd/")}
-        variables = f64_tree(convert_dcnn_densenet121(sd))
+        variables = f64_cast(convert_ref(sd))
         v0 = None
         if warm and any(k.startswith("v/") for k in z.files):
             # the REFERENCE's dumped eigenvector, mapped to the flax
             # layout by the SAME converter as the params (pure
             # transposes/reshapes, so <v, Hv> semantics carry over):
             # overlay the per-param v chunks onto the state_dict and
-            # keep the converter's params/ outputs
+            # keep the converter's params outputs
             vsd = {k: np.asarray(z[f"v/{k}"], np.float64)
                    if f"v/{k}" in z.files else v_
                    for k, v_ in sd.items()}
-            vconv = convert_dcnn_densenet121(vsd)
-            v0 = f64_tree(
-                {k[len("params/"):]: v_ for k, v_ in vconv.items()
-                 if k.startswith("params/")}
-            )
+            v0 = f64_cast(convert_ref(vsd)["params"])
         x = np.asarray(z["batch/x"], np.float64).transpose(0, 2, 3, 1)
-        y = np.asarray(z["batch/y"], np.float64)
+        if y_is_float:
+            y = jnp.asarray(np.asarray(z["batch/y"]), jnp.float64)
+        else:
+            y = jnp.asarray(np.asarray(z["batch/y"], np.int64))
         batch = {
-            "x": jnp.asarray(x), "y": jnp.asarray(y),
+            "x": jnp.asarray(x), "y": y,
             "w": jnp.ones(x.shape[0], jnp.float64),
         }
         at_ref.append(solve(variables, batch, v0))

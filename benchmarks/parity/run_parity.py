@@ -234,6 +234,29 @@ CONFIGS["cxr_mini_warm"] = dict(
     CONFIGS["cxr_mini"], header="PARITY_CXRW", anchor_warm_v=True,
 )
 
+# cifar under the per-batch f64-anchor protocol: the SAME flagship
+# BatchNorm recipe as "cifar" (native torch BN on the reference side —
+# its vGHv defect steers the PENALTY gradient, opt.py:607-616, but
+# comp_rho itself is double- not triple-backward, so the rho anchors
+# are defect-free), judged by the anchored verdict instead of the
+# 3x-chaos envelope.  With cifar_f64 (strict, composed-BN, f64 end to
+# end) this closes the cifar f32 story the way cxr/cxr_f64 closed the
+# cxr one: kernel parity measured at every visited state, NO envelope.
+CONFIGS["cifar_anchored"] = dict(
+    CONFIGS["cifar"], header="PARITY_CIFA",
+    dump_rho_states=True, f64_anchor=True, anchor_warm_v=True,
+)
+
+# cifar_anchored at 1 epoch x 1 batch: the cheap end-to-end validation
+# of the cifar anchor machinery (and the XLA-CPU cache warmer for the
+# full run — identical program shapes).  n_test=64 near chance makes
+# accuracy discrete at 1.5625pp per image, hence the 2pp bound (the
+# rho criteria are the point of this task).
+CONFIGS["cifar_anchored_mini"] = dict(
+    CONFIGS["cifar_anchored"], header="PARITY_CIFM",
+    epochs=1, n_train=64, n_test=64, acc_bound_pp=2.0,
+)
+
 
 def make_data(cfg, path):
     import numpy as np
