@@ -89,12 +89,18 @@ def dn121_conv_shapes(px=224):
     return shapes
 
 
-def measure_primitive(fn, args, target_s=1.5):
+def measure_primitive(fn, args, target_s=1.5, flops=None):
     """Per-call time of ``fn`` via the marginal-scan method, with the
     scan lengths CALIBRATED to the primitive's actual speed: dn40's
     convs are microseconds each, so fixed small lengths would vanish
     under the ~25-45 ms tunnel RTT — a probe scan sizes n_large to
-    ~``target_s`` seconds of device time (n_small = n_large/4)."""
+    ~``target_s`` seconds of device time (n_small = n_large/4).
+
+    ``flops`` (optional) bounds the PROBE itself: dn121@224's conv0 is
+    ~15 GFLOP/call at cin=3 lane efficiency, so the dn40-tuned fixed
+    probe_n=2000 alone would run tens of minutes — cap the probe scan
+    near ~0.2 TFLOP (assume >=1% MFU) and let the calibrated pass do
+    the accurate timing."""
     import jax
     import jax.numpy as jnp
 
@@ -118,6 +124,8 @@ def measure_primitive(fn, args, target_s=1.5):
         return run
 
     probe_n = 2000
+    if flops:
+        probe_n = int(min(probe_n, max(8, 2e11 / flops)))
     run = make_run(probe_n)
     np.asarray(run(*args)[1])  # compile + warm
     t0 = time.perf_counter()
@@ -180,19 +188,19 @@ def main(model="dn40", px=224, batch=None):
         # primitives the HVP's backward passes lower to)
         _, vjp = jax.vjp(fwd, x, w)
 
+        flops = 2.0 * BATCH * h * h * cin * cout * k * k
+
         def _retry(f, a, tries=3):
             # the tunneled chip's remote-compile endpoint drops
             # connections transiently; a plain retry recovers
             for attempt in range(tries):
                 try:
-                    return measure_primitive(f, a)
+                    return measure_primitive(f, a, flops=flops)
                 except Exception as e:
                     if attempt == tries - 1:
                         raise
                     print(f"# retrying after: {e}", flush=True)
                     time.sleep(5)
-
-        flops = 2.0 * BATCH * h * h * cin * cout * k * k
         t_fwd = _retry(fwd, (x, w))
         t_dx = _retry(lambda d: vjp(d)[0], (dy,))
         t_dw = _retry(lambda d: vjp(d)[1], (dy,))
